@@ -1,0 +1,202 @@
+"""Experiment configuration dataclasses.
+
+The reference drives everything through ``train.py``'s argparse flags
+(gpu id, batchsize, epochs, dataset path, out dir, latent dims — SURVEY.md
+§1, reconstructed). Here the same surface is typed, named, and versioned:
+one frozen dataclass tree per experiment, CLI overrides applied on top.
+
+Latent dimensions follow the MoCoGAN paper (arXiv:1707.04993):
+content code z_C is 50-dim, motion code z_M(t) is the 10-dim hidden state
+of a one-layer GRU driven by i.i.d. Gaussian noise e_t.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for all four networks (reference R1-R4)."""
+
+    # Latent space (MoCoGAN paper Sec. 3 / reference generator Chain).
+    dim_content: int = 50      # z_C — fixed per clip
+    dim_motion: int = 10       # z_M(t) — GRU hidden size
+    dim_eps: int = 10          # per-step GRU input noise e_t
+
+    # Video geometry.
+    image_size: int = 64       # H == W
+    channels: int = 3
+    video_length: int = 16     # T
+
+    # Capacity (DCGAN-style feature-map widths).
+    gen_features: int = 64     # ngf: deepest layer has gen_features * 8 maps
+    disc_features: int = 64    # ndf
+
+    # Conditional/categorical MoCoGAN (reference R10, config 4).
+    n_classes: int = 0         # 0 => unconditional
+
+    # Discriminator topology.
+    use_video_discriminator: bool = True
+
+    # Numerics. Params are always fp32; compute may run in bfloat16 on TPU.
+    compute_dtype: str = "float32"   # "float32" | "bfloat16"
+
+    @property
+    def dim_z(self) -> int:
+        """Per-frame latent fed to the image generator: [z_C, onehot?, z_M]."""
+        return self.dim_content + self.n_classes + self.dim_motion
+
+    @property
+    def conditional(self) -> bool:
+        return self.n_classes > 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization hyperparameters (reference R5/R8).
+
+    The reference uses Adam(alpha=2e-4, beta1=0.5) for all three nets
+    (MoCoGAN paper Sec. 4 training details).
+    """
+
+    batch_size: int = 16                 # global batch (split across data mesh)
+    learning_rate: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    total_steps: int = 100_000
+    seed: int = 0
+
+    # Auxiliary categorical loss weight (InfoGAN-style, config 4).
+    aux_loss_weight: float = 1.0
+
+    # Checkpoint / logging cadence (reference: snapshot + LogReport extensions).
+    checkpoint_every: int = 2_000
+    log_every: int = 100
+    sample_every: int = 1_000
+    keep_checkpoints: int = 3
+
+    # Data parallelism over ICI (BASELINE B1): number of devices to shard
+    # the batch over. None => use all visible devices.
+    num_devices: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline config (reference R6/R7 + BASELINE B3)."""
+
+    dataset: str = "synthetic"           # synthetic | mug | weizmann | npy_dir
+    data_dir: str = ""
+    # Raw stored frame size before the fused on-device resize. When it equals
+    # image_size the Pallas resize is an (exercised) identity-weight matmul.
+    raw_size: int = 64
+    # Use the Pallas fused resize+normalize kernel (B3). Falls back to the
+    # jnp oracle path off-TPU automatically.
+    fused_preproc: bool = True
+    prefetch: int = 2                    # device batches kept in flight
+    shuffle_buffer: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    model: ModelConfig
+    train: TrainConfig
+    data: DataConfig
+    out_dir: str = "runs"
+
+
+def _toy() -> ExperimentConfig:
+    """Config 1 — unconditional toy run, D_I only, CPU-runnable."""
+    return ExperimentConfig(
+        name="toy",
+        model=ModelConfig(
+            image_size=64, channels=3, video_length=16,
+            gen_features=32, disc_features=32,
+            use_video_discriminator=False,
+        ),
+        train=TrainConfig(batch_size=8, total_steps=2_000),
+        data=DataConfig(dataset="synthetic"),
+    )
+
+
+def _mug() -> ExperimentConfig:
+    """Config 2 — MUG facial expressions, D_I + D_V."""
+    return ExperimentConfig(
+        name="mug",
+        model=ModelConfig(image_size=64, channels=3, video_length=16),
+        train=TrainConfig(batch_size=16),
+        data=DataConfig(dataset="mug", raw_size=96),
+    )
+
+
+def _weizmann() -> ExperimentConfig:
+    """Config 3 — Weizmann actions, full MoCoGAN S_1/S_T loss."""
+    return ExperimentConfig(
+        name="weizmann",
+        model=ModelConfig(image_size=64, channels=3, video_length=16),
+        train=TrainConfig(batch_size=16),
+        data=DataConfig(dataset="weizmann", raw_size=96),
+    )
+
+
+def _categorical() -> ExperimentConfig:
+    """Config 4 — categorical MoCoGAN with conditional D_V head."""
+    return ExperimentConfig(
+        name="categorical",
+        model=ModelConfig(
+            image_size=64, channels=3, video_length=16,
+            n_classes=6,  # MUG has 6 expression classes
+        ),
+        train=TrainConfig(batch_size=16),
+        data=DataConfig(dataset="mug", raw_size=96),
+    )
+
+
+def _scaled() -> ExperimentConfig:
+    """Config 5 — 96x96x32f, data-parallel v5e-8, bf16 compute."""
+    return ExperimentConfig(
+        name="scaled",
+        model=ModelConfig(
+            image_size=96, channels=3, video_length=32,
+            compute_dtype="bfloat16",
+        ),
+        train=TrainConfig(batch_size=64, num_devices=8),
+        data=DataConfig(dataset="weizmann", raw_size=128, fused_preproc=True),
+    )
+
+
+_CONFIGS = {
+    "toy": _toy,
+    "mug": _mug,
+    "weizmann": _weizmann,
+    "categorical": _categorical,
+    "scaled": _scaled,
+}
+
+
+def list_configs() -> Tuple[str, ...]:
+    return tuple(_CONFIGS)
+
+
+def get_config(name: str, **overrides) -> ExperimentConfig:
+    """Build a named config; ``overrides`` replace top-level fields or, with
+    dotted keys (``model.video_length=32``), nested dataclass fields."""
+    if name not in _CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_CONFIGS)}")
+    cfg = _CONFIGS[name]()
+    nested: dict = {}
+    flat: dict = {}
+    for k, v in overrides.items():
+        if "." in k:
+            head, tail = k.split(".", 1)
+            nested.setdefault(head, {})[tail] = v
+        else:
+            flat[k] = v
+    for head, kv in nested.items():
+        sub = getattr(cfg, head)
+        cfg = dataclasses.replace(cfg, **{head: dataclasses.replace(sub, **kv)})
+    if flat:
+        cfg = dataclasses.replace(cfg, **flat)
+    return cfg

@@ -1,0 +1,3 @@
+from mocogan_tpu.data import synthetic
+
+__all__ = ["synthetic"]

@@ -1,0 +1,136 @@
+"""Image generator G_I (reference R2) + the public video-sampling API (R9).
+
+Reference design: per-frame decoder — concat [z_C, z_M(t)] -> linear ->
+reshape -> stack of Deconvolution2D(4x4, stride 2) + BatchNorm + ReLU ->
+tanh, applied to each of the T frames with shared weights (SURVEY.md §2a R2).
+
+TPU-native design: instead of looping/vmapping over time, all B*T frames are
+decoded as ONE batched deconvolution stack — the time axis is folded into
+the batch axis so every transposed conv is a single large MXU-friendly
+contraction. BatchNorm then normalizes over (B*T, H, W), which matches the
+reference exactly: Chainer's BN inside the per-frame generator sees the
+frame-batch too.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mocogan_tpu.configs import ModelConfig
+from mocogan_tpu.models import motion
+from mocogan_tpu.ops import layers
+from mocogan_tpu.utils import prng
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+_N_UP = 4  # stride-2 upsampling stages: seed -> x16 spatial
+
+
+def init(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
+    """Initialize G_I + the GRU motion sampler R_M as one parameter tree."""
+    ngf = cfg.gen_features
+    s0 = layers.out_size_up(cfg.image_size, _N_UP)
+    widths = [ngf * 8, ngf * 4, ngf * 2, ngf]
+
+    keys = jax.random.split(key, _N_UP + 3)
+    params: Params = {
+        "gru": motion.init(keys[0], cfg),
+        "fc": layers.dense_init(keys[1], cfg.dim_z, s0 * s0 * widths[0]),
+    }
+    state: State = {}
+    params["bn_fc"], state["bn_fc"] = layers.batchnorm_init(widths[0])
+
+    cin = widths[0]
+    for i in range(_N_UP):
+        cout = widths[i + 1] if i + 1 < _N_UP else cfg.channels
+        params[f"deconv{i}"] = layers.deconv2d_init(keys[2 + i], 4, cin, cout)
+        if i + 1 < _N_UP:  # no BN before the tanh output layer
+            params[f"bn{i}"], state[f"bn{i}"] = layers.batchnorm_init(cout)
+        cin = cout
+    return params, state
+
+
+def decode_frames(params: Params, state: State, z: jax.Array, cfg: ModelConfig,
+                  *, train: bool, axis_name: Optional[str] = None
+                  ) -> Tuple[jax.Array, State]:
+    """Decode per-frame latents z (N, dim_z) -> frames (N, H, W, C) in [-1,1]."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    ngf = cfg.gen_features
+    s0 = layers.out_size_up(cfg.image_size, _N_UP)
+    new_state: State = {}
+
+    h = layers.dense(params["fc"], z, dtype=dtype)
+    h = h.reshape(z.shape[0], s0, s0, ngf * 8)
+    h, new_state["bn_fc"] = layers.batchnorm(
+        params["bn_fc"], state["bn_fc"], h, train=train, axis_name=axis_name)
+    h = jax.nn.relu(h)
+
+    for i in range(_N_UP):
+        h = layers.deconv2d(params[f"deconv{i}"], h, stride=2, dtype=dtype)
+        if i + 1 < _N_UP:
+            h, new_state[f"bn{i}"] = layers.batchnorm(
+                params[f"bn{i}"], state[f"bn{i}"], h, train=train,
+                axis_name=axis_name)
+            h = jax.nn.relu(h)
+    return jnp.tanh(h.astype(jnp.float32)), new_state
+
+
+def sample_videos(params: Params, state: State, key: jax.Array, batch: int,
+                  cfg: ModelConfig, *, train: bool,
+                  labels: Optional[jax.Array] = None,
+                  video_length: Optional[int] = None,
+                  axis_name: Optional[str] = None
+                  ) -> Tuple[jax.Array, State, Optional[jax.Array]]:
+    """The MoCoGAN fake path (SURVEY.md §3.2):
+
+      z_C ~ N(0,I) fixed per clip; z_M(1..T) from the GRU roll;
+      every frame decoded from concat([z_C, (one-hot class,) z_M(t)]).
+
+    Returns (videos (B,T,H,W,C) in [-1,1], new BN state, labels or None).
+    """
+    t = video_length or cfg.video_length
+    z_c = jax.random.normal(prng.role_key(key, "content"),
+                            (batch, cfg.dim_content), jnp.float32)
+    z_m = motion.sample_motion(params["gru"], key, batch, cfg,
+                               video_length=t)              # (B,T,dM)
+    parts = [jnp.broadcast_to(z_c[:, None, :], (batch, t, cfg.dim_content))]
+    if cfg.conditional:
+        if labels is None:
+            labels = jax.random.randint(prng.role_key(key, "label"),
+                                        (batch,), 0, cfg.n_classes)
+        onehot = jax.nn.one_hot(labels, cfg.n_classes, dtype=jnp.float32)
+        parts.append(jnp.broadcast_to(onehot[:, None, :],
+                                      (batch, t, cfg.n_classes)))
+    parts.append(z_m)
+    z = jnp.concatenate(parts, axis=-1).reshape(batch * t, cfg.dim_z)
+
+    frames, new_state = decode_frames(params, state, z, cfg, train=train,
+                                      axis_name=axis_name)
+    videos = frames.reshape(batch, t, cfg.image_size, cfg.image_size,
+                            cfg.channels)
+    return videos, new_state, labels
+
+
+def generate(params: Params, state: State, key: jax.Array, n: int,
+             cfg: ModelConfig, *, labels: Optional[jax.Array] = None,
+             video_length: Optional[int] = None) -> jax.Array:
+    """Public inference API matching the reference's ``generate()`` (R9).
+
+    Deterministic given (params, state, key): BN uses running statistics
+    (eval mode) and every random draw derives from ``key`` via named folds,
+    so the output is bit-for-bit reproducible at fp32 across runs
+    (BASELINE.json fidelity contract). Returns (N, T, H, W, C) in [-1, 1].
+    """
+    videos, _, _ = sample_videos(params, state, key, n, cfg, train=False,
+                                 labels=labels, video_length=video_length)
+    return videos
+
+
+def to_uint8(videos: jax.Array) -> jax.Array:
+    """Denormalize [-1,1] -> uint8, matching the reference's (x+1)/2*255."""
+    x = jnp.clip((videos + 1.0) * 0.5 * 255.0, 0, 255)
+    return jnp.round(x).astype(jnp.uint8)

@@ -1,0 +1,33 @@
+"""GAN losses (reference R5 — Updater.update_core loss arithmetic).
+
+The reference uses Chainer's sigmoid-cross-entropy GAN formulation, i.e.
+softplus losses (MoCoGAN paper Eq. 5, alternating scheme):
+
+    L_D = softplus(-D(real)) + softplus(D(fake))
+    L_G = softplus(-D(fake))
+
+plus, for categorical MoCoGAN (R10/config 4), an InfoGAN-style auxiliary
+categorical cross-entropy on D_V's class head.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def d_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
+    """Discriminator loss; logits of any matching shape, mean-reduced."""
+    return (jnp.mean(jax.nn.softplus(-real_logits))
+            + jnp.mean(jax.nn.softplus(fake_logits)))
+
+
+def g_loss(fake_logits: jax.Array) -> jax.Array:
+    """Non-saturating generator loss."""
+    return jnp.mean(jax.nn.softplus(-fake_logits))
+
+
+def categorical_loss(class_logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Auxiliary CE on D_V's class head. labels: int32 (B,)."""
+    logp = jax.nn.log_softmax(class_logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))

@@ -1,0 +1,33 @@
+"""S_1 / S_T sampling (MoCoGAN paper Sec. 3.3; reference R5).
+
+The image discriminator D_I sees S_1-sampled inputs — one random frame per
+clip; the video discriminator D_V sees the S_T-sampled full clip. The
+reference draws the frame index with numpy's global RNG inside
+``update_core``; here the index comes from an explicit PRNG key so the
+sharded step stays deterministic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_frames(key: jax.Array, video: jax.Array) -> jax.Array:
+    """Pick one random frame per clip.
+
+    video: (B, T, H, W, C)  ->  (B, H, W, C)
+
+    Implemented as a one-hot matmul-free dynamic gather
+    (``take_along_axis``), which XLA lowers to an efficient dynamic-slice
+    gather on TPU — no host round-trip, usable inside jit/shard_map.
+    """
+    b, t = video.shape[0], video.shape[1]
+    idx = jax.random.randint(key, (b,), 0, t)
+    sel = idx[:, None, None, None, None]
+    return jnp.take_along_axis(video, sel, axis=1)[:, 0]
+
+
+def frame_indices(key: jax.Array, batch: int, t: int) -> jax.Array:
+    """Expose the raw S_1 indices (for tests / parity checks)."""
+    return jax.random.randint(key, (batch,), 0, t)

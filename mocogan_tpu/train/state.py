@@ -1,0 +1,65 @@
+"""Training state — the TPU-native replacement for the reference's trio of
+``chainer.optimizers.Adam`` objects plus per-Link persistent state
+(SURVEY.md §3.1: three Adam(2e-4, beta1=0.5) optimizers + snapshot'd Trainer
+state).
+
+Everything lives in one pytree dataclass so the whole step is a pure
+function (state, batch, ...) -> state and Orbax can checkpoint/restore it
+atomically (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from mocogan_tpu.configs import ExperimentConfig
+from mocogan_tpu.models import discriminators, generator
+from mocogan_tpu.utils import prng
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    """Adam(alpha=2e-4, beta1=0.5, beta2=0.999) — the reference's settings
+    for all three networks (MoCoGAN paper Sec. 4)."""
+    t = cfg.train
+    return optax.adam(t.learning_rate, b1=t.beta1, b2=t.beta2)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array                      # int32 scalar
+    root_key: jax.Array                  # PRNG root; never advanced in place
+    params: Dict[str, Any]               # {"gen", "di", ["dv"]}
+    bn: Dict[str, Any]                   # running BatchNorm stats per net
+    opt: Dict[str, Any]                  # optax states per net
+
+
+def create(cfg: ExperimentConfig, seed: Optional[int] = None) -> TrainState:
+    seed = cfg.train.seed if seed is None else seed
+    root = jax.random.key(seed)
+    init_key = prng.role_key(root, "init")
+    kg, ki, kv = jax.random.split(init_key, 3)
+
+    m = cfg.model
+    params: Dict[str, Any] = {}
+    bn: Dict[str, Any] = {}
+    params["gen"], bn["gen"] = generator.init(kg, m)
+    params["di"], bn["di"] = discriminators.image_init(ki, m)
+    if m.use_video_discriminator:
+        params["dv"], bn["dv"] = discriminators.video_init(kv, m)
+
+    tx = make_optimizer(cfg)
+    opt = {name: tx.init(p) for name, p in params.items()}
+    return TrainState(step=jnp.zeros((), jnp.int32), root_key=root,
+                      params=params, bn=bn, opt=opt)
+
+
+def param_count(state: TrainState) -> Dict[str, int]:
+    return {
+        name: sum(x.size for x in jax.tree.leaves(p))
+        for name, p in state.params.items()
+    }

@@ -1,0 +1,141 @@
+"""The MoCoGAN adversarial train step (reference R5: Updater.update_core,
+SURVEY.md §3.2) as ONE jit-compiled pure function.
+
+Reference scheme per iteration (Chainer, define-by-run):
+  1. generate a fake clip batch from G (single forward),
+  2. D_I loss on S_1-sampled real vs (detached) fake frames -> update D_I,
+  3. D_V loss on real clip vs (detached) fake clip         -> update D_V,
+  4. G loss = fool both discriminators on the SAME fakes    -> update G.
+All three losses are computed from one generator forward and every update
+uses start-of-iteration parameters — i.e. simultaneous updates.
+
+TPU-native design — one forward, ONE joint backward:
+  total = L_DI(theta_DI, sg(fake)) + L_DV(theta_DV, sg(fake))
+        + L_G(fake(theta_G); sg(theta_DI), sg(theta_DV))
+``stop_gradient`` partitions the gradient exactly as the reference's three
+separate backwards do (sg(fake) blocks D losses from reaching G; sg on the
+discriminator *parameter trees* blocks L_G from reaching the Ds while still
+letting it flow through the D functions into the fake frames), so
+grad(total) w.r.t. each net equals the reference's per-net gradients — but
+XLA sees a single fused graph: one generator forward per D-pass + one for
+the G-pass is avoided entirely, and all three Adam updates fuse into the
+same program.
+
+Data parallelism (BASELINE B1/B2): the step is written once over the global
+batch and sharded with jit + NamedSharding on a 1-D "data" mesh. Under
+GSPMD, batch reductions (loss means, BatchNorm batch statistics) lower to
+psum/all-reduce over ICI automatically, so the sharded step is semantically
+IDENTICAL to the single-device step on the concatenated batch — which is
+exactly the reference's (single-device) numerics at global batch size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mocogan_tpu.configs import ExperimentConfig
+from mocogan_tpu.models import discriminators, generator
+from mocogan_tpu.ops import losses, sampling
+from mocogan_tpu.train.state import TrainState, make_optimizer
+from mocogan_tpu.utils import prng
+
+_sg = jax.lax.stop_gradient
+
+
+def _loss_fn(params: Dict[str, Any], bn: Dict[str, Any], real: jax.Array,
+             labels: Optional[jax.Array], key: jax.Array,
+             cfg: ExperimentConfig):
+    m = cfg.model
+    batch = real.shape[0]
+    new_bn: Dict[str, Any] = {}
+    metrics: Dict[str, jax.Array] = {}
+
+    # ---- fake path: z_C + GRU-rolled z_M -> per-frame decode (R1+R2) ----
+    fake, new_bn["gen"], fake_labels = generator.sample_videos(
+        params["gen"], bn["gen"], key, batch, m, train=True)
+    fake_d = _sg(fake)  # detached view for the discriminator losses
+
+    # ---- S_1 frame sampling (paper Sec. 3.3) ----
+    k_real = prng.role_key(key, "frame_sample")
+    k_fake = jax.random.fold_in(k_real, 1)
+    real_frame = sampling.sample_frames(k_real, real)
+    fake_frame = sampling.sample_frames(k_fake, fake)   # grads flow to G
+    fake_frame_d = _sg(fake_frame)
+
+    # ---- D_I loss (R3) ----
+    di_real, st = discriminators.image_apply(
+        params["di"], bn["di"], real_frame, m, train=True)
+    di_fake, st = discriminators.image_apply(
+        params["di"], st, fake_frame_d, m, train=True)
+    new_bn["di"] = st
+    loss_di = losses.d_loss(di_real, di_fake)
+    metrics["loss_di"] = loss_di
+
+    # ---- D_V loss (R4) on the S_T clip ----
+    loss_dv = jnp.zeros((), jnp.float32)
+    if m.use_video_discriminator:
+        dv_real, cls_real, st = discriminators.video_apply(
+            params["dv"], bn["dv"], real, m, train=True)
+        dv_fake, cls_fake_d, st = discriminators.video_apply(
+            params["dv"], st, fake_d, m, train=True)
+        new_bn["dv"] = st
+        loss_dv = losses.d_loss(dv_real, dv_fake)
+        if m.conditional:
+            # InfoGAN-style aux CE (R10): D_V's head classifies real clips
+            # by their dataset label and (Q-style) fakes by the sampled one.
+            aux_d = losses.categorical_loss(cls_real, labels)
+            aux_d = aux_d + losses.categorical_loss(cls_fake_d, fake_labels)
+            loss_dv = loss_dv + cfg.train.aux_loss_weight * aux_d
+            metrics["loss_aux_d"] = aux_d
+        metrics["loss_dv"] = loss_dv
+
+    # ---- G loss: fool both Ds on the SAME fakes (sg on D params) ----
+    di_sg, bn_di_sg = _sg(params["di"]), _sg(bn["di"])
+    g_di, _ = discriminators.image_apply(di_sg, bn_di_sg, fake_frame, m,
+                                         train=True)
+    loss_g = losses.g_loss(g_di)
+    if m.use_video_discriminator:
+        dv_sg, bn_dv_sg = _sg(params["dv"]), _sg(bn["dv"])
+        g_dv, cls_fake, _ = discriminators.video_apply(dv_sg, bn_dv_sg, fake,
+                                                       m, train=True)
+        loss_g = loss_g + losses.g_loss(g_dv)
+        if m.conditional:
+            aux_g = losses.categorical_loss(cls_fake, fake_labels)
+            loss_g = loss_g + cfg.train.aux_loss_weight * aux_g
+            metrics["loss_aux_g"] = aux_g
+    metrics["loss_gen"] = loss_g
+
+    total = loss_di + loss_dv + loss_g
+    return total, (new_bn, metrics)
+
+
+def train_step(state: TrainState, real: jax.Array,
+               labels: Optional[jax.Array],
+               cfg: ExperimentConfig) -> Tuple[TrainState, Dict[str, Any]]:
+    """One adversarial iteration. real: (B,T,H,W,C) in [-1,1]."""
+    key = prng.step_key(state.root_key, state.step)
+    grads, (new_bn, metrics) = jax.grad(_loss_fn, has_aux=True)(
+        state.params, state.bn, real, labels, key, cfg)
+
+    tx = make_optimizer(cfg)
+    new_params: Dict[str, Any] = {}
+    new_opt: Dict[str, Any] = {}
+    for name in state.params:
+        updates, new_opt[name] = tx.update(grads[name], state.opt[name],
+                                           state.params[name])
+        new_params[name] = jax.tree.map(lambda p, u: p + u,
+                                        state.params[name], updates)
+    return state.replace(step=state.step + 1, params=new_params,
+                         bn=new_bn, opt=new_opt), metrics
+
+
+def jitted_train_step(cfg: ExperimentConfig):
+    """jit(train_step) with cfg closed over (it contains Python branches)."""
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, real, labels):
+        return train_step(state, real, labels, cfg)
+    return step_fn
