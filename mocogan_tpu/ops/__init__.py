@@ -1,3 +1,3 @@
-from mocogan_tpu.ops import layers, losses, sampling
+from mocogan_tpu.ops import layers, losses, preproc, sampling
 
-__all__ = ["layers", "losses", "sampling"]
+__all__ = ["layers", "losses", "preproc", "sampling"]

@@ -1,0 +1,3 @@
+from mocogan_tpu.parallel import mesh
+
+__all__ = ["mesh"]

@@ -1,0 +1,104 @@
+"""Data-parallel scaling over ICI (BASELINE B1 + B2).
+
+The reference is strictly single-device (``--gpu N``; no ChainerMN, no
+NCCL/MPI — SURVEY.md §2 'Parallelism strategies: none'). Scaling is new
+TPU-native scope: a 1-D ``data`` mesh, batch sharded over it, parameters
+replicated, and the ONE jitted train step compiled with GSPMD so XLA
+inserts the gradient/BatchNorm all-reduces as psums over ICI automatically.
+
+Because GSPMD preserves the semantics of the unsharded program, the sharded
+step computes exactly the single-device step on the concatenated global
+batch — loss curves are preserved by construction (the BASELINE requirement)
+and the §4 "pmapped == single-device" test is an equality check, not a
+tolerance check.
+
+Multi-host: `initialize_distributed()` wires `jax.distributed` when driver
+env vars are present; the mesh then spans all slice devices and per-host
+batch shards are placed with `make_array_from_process_local_data`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed() -> None:
+    """Initialize multi-process JAX when launched under a multi-host driver
+    (no-op on a single host). The reference has no analog — its world is one
+    process (SURVEY.md §5 'Distributed communication backend: Absent')."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        if num_devices > len(devs):
+            raise ValueError(
+                f"requested {num_devices} devices, have {len(devs)}")
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis split across the data mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays: Any) -> Tuple[jax.Array, ...]:
+    """Place host arrays onto the mesh, batch axis sharded."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) if a is not None else None
+                for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def shard_state(mesh: Mesh, state: Any) -> Any:
+    """Replicate a TrainState (or any pytree) across the mesh."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+
+def make_sharded_train_step(cfg, mesh: Mesh):
+    """jit(train_step) with explicit shardings: state replicated, batch
+    sharded over the data axis. XLA emits the ICI collectives."""
+    from mocogan_tpu.train.step import train_step  # local import, no cycle
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def step_fn(state, real, labels):
+        return train_step(state, real, labels, cfg)
+
+    has_labels = cfg.model.conditional
+    in_shardings = (rep, bsh, bsh if has_labels else None)
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def local_batch_size(cfg, mesh: Mesh) -> int:
+    """Per-process slice of the global batch (multi-host input sharding)."""
+    global_b = cfg.train.batch_size
+    n = mesh.devices.size
+    if global_b % n:
+        raise ValueError(f"global batch {global_b} not divisible by "
+                         f"{n} devices")
+    return global_b // jax.process_count()

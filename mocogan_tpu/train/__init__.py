@@ -1,3 +1,3 @@
-from mocogan_tpu.train import state, step
+from mocogan_tpu.train import state, step, loop
 
-__all__ = ["state", "step"]
+__all__ = ["state", "step", "loop"]

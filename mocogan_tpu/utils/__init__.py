@@ -1,3 +1,3 @@
-from mocogan_tpu.utils import prng
+from mocogan_tpu.utils import prng, video, metrics
 
-__all__ = ["prng"]
+__all__ = ["prng", "video", "metrics"]

@@ -1,0 +1,77 @@
+"""Checkpoint / resume via Orbax — the TPU-native replacement for the
+reference's ``chainer.training.extensions.snapshot`` +
+``serializers.save_npz/load_npz`` + ``--resume`` (SURVEY.md §5).
+
+Saved per step: all params, all three optimizer states, BatchNorm running
+stats, the PRNG root key, and the step counter — everything needed for
+exact resume (the reference snapshots the same Trainer state).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mocogan_tpu.train.state import TrainState
+
+
+def _to_saveable(state: TrainState) -> dict:
+    """Typed PRNG keys aren't serializable; store raw key data."""
+    return {
+        "step": state.step,
+        "root_key_data": jax.random.key_data(state.root_key),
+        "params": state.params,
+        "bn": state.bn,
+        "opt": state.opt,
+    }
+
+
+def _from_saveable(tree: dict) -> TrainState:
+    return TrainState(
+        step=tree["step"],
+        root_key=jax.random.wrap_key_data(tree["root_key_data"]),
+        params=tree["params"],
+        bn=tree["bn"],
+        opt=tree["opt"],
+    )
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, state: TrainState, *, wait: bool = False) -> int:
+        step = int(jax.device_get(state.step))
+        self._mngr.save(step, args=ocp.args.StandardSave(_to_saveable(state)))
+        if wait:
+            self._mngr.wait_until_finished()
+        return step
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, template: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of `template` (freshly-created state)."""
+        step = self._mngr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                _to_saveable(template))
+        tree = self._mngr.restore(step,
+                                  args=ocp.args.StandardRestore(abstract))
+        return _from_saveable(tree)
+
+    def close(self):
+        self._mngr.wait_until_finished()
+        self._mngr.close()

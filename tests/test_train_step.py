@@ -1,0 +1,110 @@
+"""Train-step tests (R5): gradient partitioning, loss behavior, determinism,
+and the 50-step integration run on synthetic clips (SURVEY.md §4
+'Integration')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mocogan_tpu.data import synthetic
+from mocogan_tpu.train import state as train_state
+from mocogan_tpu.train import step as train_step
+from mocogan_tpu.utils import prng
+
+
+def test_step_runs_and_advances(tiny_cfg, tiny_batch):
+    vids, _ = tiny_batch
+    s = train_state.create(tiny_cfg)
+    fn = train_step.jitted_train_step(tiny_cfg)
+    s2, m = fn(s, jnp.asarray(vids), None)
+    m = jax.device_get(m)
+    assert int(s2.step) == 1
+    assert all(np.isfinite(v) for v in m.values())
+    assert {"loss_gen", "loss_di", "loss_dv"} <= set(m)
+
+
+def test_step_deterministic(tiny_cfg, tiny_batch):
+    """Same state + batch => bit-identical new params (PRNG discipline)."""
+    vids, _ = tiny_batch
+    fn = train_step.jitted_train_step(tiny_cfg)
+    outs = []
+    for _ in range(2):
+        s = train_state.create(tiny_cfg)
+        s2, _ = fn(s, jnp.asarray(vids), None)
+        outs.append(jax.device_get(s2.params))
+    a, b = outs
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_gradient_partitioning(tiny_cfg, tiny_batch):
+    """The joint backward must reproduce the reference's per-net gradients:
+    G's gradient ignores the D losses; D gradients ignore the G loss."""
+    vids, _ = tiny_batch
+    s = train_state.create(tiny_cfg)
+    key = prng.step_key(s.root_key, s.step)
+    real = jnp.asarray(vids)
+
+    grads, _ = jax.grad(train_step._loss_fn, has_aux=True)(
+        s.params, s.bn, real, None, key, tiny_cfg)
+
+    # Direct per-net gradients of the isolated loss terms.
+    def g_only(pg):
+        p = dict(s.params, gen=pg)
+        total, (_, metrics) = train_step._loss_fn(p, s.bn, real, None, key,
+                                                  tiny_cfg)
+        return metrics["loss_gen"]
+
+    g_direct = jax.grad(g_only)(s.params["gen"])
+    for a, b in zip(jax.tree.leaves(grads["gen"]), jax.tree.leaves(g_direct)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def di_only(pdi):
+        p = dict(s.params, di=pdi)
+        total, (_, metrics) = train_step._loss_fn(p, s.bn, real, None, key,
+                                                  tiny_cfg)
+        return metrics["loss_di"]
+
+    di_direct = jax.grad(di_only)(s.params["di"])
+    for a, b in zip(jax.tree.leaves(grads["di"]), jax.tree.leaves(di_direct)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_categorical_step(tiny_cat_cfg):
+    m = tiny_cat_cfg.model
+    vids, labels = synthetic.make_batch(
+        0, tiny_cat_cfg.train.batch_size, t=m.video_length,
+        size=m.image_size, n_classes=m.n_classes)
+    s = train_state.create(tiny_cat_cfg)
+    fn = train_step.jitted_train_step(tiny_cat_cfg)
+    s2, metrics = fn(s, jnp.asarray(vids), jnp.asarray(labels))
+    metrics = jax.device_get(metrics)
+    assert "loss_aux_d" in metrics and "loss_aux_g" in metrics
+    assert all(np.isfinite(v) for v in metrics.values())
+
+
+def test_integration_50_steps(tiny_cfg):
+    """50-step run on synthetic clips: finite losses, D learns (its loss
+    drops), G's samples change (training is actually updating G)."""
+    from mocogan_tpu.models import generator
+
+    m = tiny_cfg.model
+    s = train_state.create(tiny_cfg)
+    v0 = np.asarray(generator.generate(s.params["gen"], s.bn["gen"],
+                                       jax.random.key(99), 2, m))
+    fn = train_step.jitted_train_step(tiny_cfg)
+    it = synthetic.batch_iterator(1, tiny_cfg.train.batch_size,
+                                  t=m.video_length, size=m.image_size)
+    history = []
+    for i in range(50):
+        vids, _ = next(it)
+        s, metrics = fn(s, jnp.asarray(vids), None)
+        history.append(metrics)
+    history = jax.device_get(history)
+    assert all(np.isfinite(v) for h in history for v in h.values())
+    d_start = np.mean([h["loss_di"] for h in history[:5]])
+    d_end = np.mean([h["loss_di"] for h in history[-5:]])
+    assert d_end < d_start, (d_start, d_end)
+    v1 = np.asarray(generator.generate(s.params["gen"], s.bn["gen"],
+                                       jax.random.key(99), 2, m))
+    assert not np.allclose(v0, v1)
