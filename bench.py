@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark: training steps/sec/chip on the flagship 64x64x16f MoCoGAN
+config (BASELINE metric), plus generated clips/sec.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is the speedup over the CPU-oracle train step (BASELINE.md: the
+Chainer-CPU anchor is unobtainable offline — Chainer isn't installed and the
+reference mount is empty — so the documented stand-in is the same training
+step on this host's CPU, measured once and cached). north_star: >= 5x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+
+BENCH_CFG = dict(config="mug", batch_size=16, steps=30, warmup=3)
+
+_CHILD_SRC = r"""
+import json, os, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from mocogan_tpu import get_config
+from mocogan_tpu.data import synthetic
+from mocogan_tpu.train import state as train_state, step as train_step
+
+cfg = get_config("mug", **{"train.batch_size": %(batch_size)d})
+s = train_state.create(cfg)
+fn = train_step.jitted_train_step(cfg)
+vids, _ = synthetic.make_batch(0, cfg.train.batch_size)
+v = jnp.asarray(vids)
+s, m = fn(s, v, None)
+jax.block_until_ready(jax.tree.leaves(s.params)[0])
+n = %(steps)d
+t0 = time.time()
+for _ in range(n):
+    s, m = fn(s, v, None)
+jax.block_until_ready(jax.tree.leaves(s.params)[0])
+print(json.dumps({"steps_per_sec": n / (time.time() - t0)}))
+"""
+
+
+def cpu_baseline_steps_per_sec() -> float:
+    key = f"{BENCH_CFG['config']}_b{BENCH_CFG['batch_size']}"
+    if os.path.exists(CACHE):
+        try:
+            cached = json.load(open(CACHE))
+            if key in cached:
+                return float(cached[key])
+        except (ValueError, KeyError):
+            pass
+    src = _CHILD_SRC % {"batch_size": BENCH_CFG["batch_size"], "steps": 3}
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", src], capture_output=True,
+                         text=True, env=env, cwd=REPO, timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
+    sps = float(json.loads(out.stdout.strip().splitlines()[-1])
+                ["steps_per_sec"])
+    cached = {}
+    if os.path.exists(CACHE):
+        try:
+            cached = json.load(open(CACHE))
+        except ValueError:
+            pass
+    cached[key] = sps
+    json.dump(cached, open(CACHE, "w"))
+    return sps
+
+
+def tpu_train_steps_per_sec() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mocogan_tpu import get_config
+    from mocogan_tpu.data import synthetic
+    from mocogan_tpu.train import state as train_state
+    from mocogan_tpu.train import step as train_step
+
+    cfg = get_config("mug",
+                     **{"train.batch_size": BENCH_CFG["batch_size"]})
+    s = train_state.create(cfg)
+    fn = train_step.jitted_train_step(cfg)
+    vids, _ = synthetic.make_batch(0, cfg.train.batch_size)
+    v = jnp.asarray(vids)
+    # Warmup absorbs compile AND the remote backend's slow first execution;
+    # device_get is the only true sync on the axon tunnel (block_until_ready
+    # returns early there).
+    for _ in range(BENCH_CFG["warmup"]):
+        s, m = fn(s, v, None)
+    jax.device_get(m)
+    n = BENCH_CFG["steps"]
+    t0 = time.time()
+    for _ in range(n):
+        s, m = fn(s, v, None)
+    jax.device_get(m)
+    return n / (time.time() - t0)
+
+
+def generate_clips_per_sec() -> float:
+    import jax
+
+    from mocogan_tpu import get_config
+    from mocogan_tpu.models import generator
+    from mocogan_tpu.train import state as train_state
+
+    cfg = get_config("mug")
+    s = train_state.create(cfg)
+    n_clips = 64
+
+    def gen(key):
+        return generator.generate_fast(s.params["gen"], s.bn["gen"], key,
+                                       n_clips, cfg.model)
+
+    out = gen(jax.random.key(0))
+    jax.device_get(out[0, 0, 0, 0, :1])
+    reps = 10
+    t0 = time.time()
+    for i in range(reps):
+        out = gen(jax.random.key(i + 1))
+    jax.device_get(out[0, 0, 0, 0, :1])
+    return n_clips * reps / (time.time() - t0)
+
+
+def main():
+    tpu_sps = tpu_train_steps_per_sec()
+    clips = generate_clips_per_sec()
+    try:
+        cpu_sps = cpu_baseline_steps_per_sec()
+        vs = tpu_sps / cpu_sps
+    except Exception as e:  # noqa: BLE001 — bench must still emit its line
+        print(f"[bench] cpu baseline unavailable: {e}", file=sys.stderr)
+        cpu_sps, vs = None, None
+
+    print(f"[bench] train: {tpu_sps:.2f} steps/s/chip "
+          f"(cpu oracle: {cpu_sps if cpu_sps else '?'} steps/s) | "
+          f"generate: {clips:.1f} clips/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "train_steps_per_sec_per_chip_64x64x16f",
+        "value": round(tpu_sps, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "extra": {"generate_clips_per_sec": round(clips, 1),
+                  "cpu_oracle_steps_per_sec": (round(cpu_sps, 4)
+                                               if cpu_sps else None),
+                  "batch_size": BENCH_CFG["batch_size"]},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,12 +70,23 @@ class RandomProjectionFeatures:
         key = jax.random.key(self.seed)
         ks = jax.random.split(key, 5)
         c = self.width
+
+        def he(k, kshape, cin, cout):
+            fan_in = int(np.prod(kshape)) * cin
+            w = jax.random.normal(k, (*kshape, cin, cout), jnp.float32)
+            return {"w": w * np.sqrt(2.0 / fan_in),
+                    "b": jnp.zeros((cout,), jnp.float32)}
+
         self.params = {
-            "conv0": layers.conv3d_init(ks[0], (3, 4, 4), 3, c),
-            "conv1": layers.conv3d_init(ks[1], (3, 4, 4), c, c * 2),
-            "conv2": layers.conv3d_init(ks[2], (3, 4, 4), c * 2, c * 4),
-            "conv3": layers.conv3d_init(ks[3], (3, 4, 4), c * 4, c * 8),
-            "proj": layers.dense_init(ks[4], c * 8, self.dim),
+            "conv0": he(ks[0], (3, 4, 4), 3, c),
+            "conv1": he(ks[1], (3, 4, 4), c, c * 2),
+            "conv2": he(ks[2], (3, 4, 4), c * 2, c * 4),
+            "conv3": he(ks[3], (3, 4, 4), c * 4, c * 8),
+            "proj": {
+                "w": jax.random.normal(ks[4], (c * 8, self.dim), jnp.float32)
+                * np.sqrt(1.0 / (c * 8)),
+                "b": jnp.zeros((self.dim,), jnp.float32),
+            },
         }
 
     @functools.cached_property

@@ -45,7 +45,9 @@ def image_init(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
     state: State = {}
     cin = cfg.channels
     for i, cout in enumerate(widths):
-        params[f"conv{i}"] = layers.conv2d_init(keys[i], 4, cin, cout)
+        # bias only on the un-normalized first layer (BN kills bias grads)
+        params[f"conv{i}"] = layers.conv2d_init(keys[i], 4, cin, cout,
+                                                bias=(i == 0))
         if i > 0:  # DCGAN: no norm on the first layer
             params[f"bn{i}"], state[f"bn{i}"] = layers.batchnorm_init(cout)
         cin = cout
@@ -82,7 +84,8 @@ def video_init(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
     state: State = {}
     cin = cfg.channels
     for i, cout in enumerate(widths):
-        params[f"conv{i}"] = layers.conv3d_init(keys[i], (4, 4, 4), cin, cout)
+        params[f"conv{i}"] = layers.conv3d_init(keys[i], (4, 4, 4), cin, cout,
+                                                bias=(i == 0))
         if i > 0:
             params[f"bn{i}"], state[f"bn{i}"] = layers.batchnorm_init(cout)
         cin = cout

@@ -39,16 +39,21 @@ def init(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
     keys = jax.random.split(key, _N_UP + 3)
     params: Params = {
         "gru": motion.init(keys[0], cfg),
-        "fc": layers.dense_init(keys[1], cfg.dim_z, s0 * s0 * widths[0]),
+        # bias=False wherever BatchNorm follows: BN subtracts the mean, so
+        # such biases have exactly-zero gradient (dead params).
+        "fc": layers.dense_init(keys[1], cfg.dim_z, s0 * s0 * widths[0],
+                                bias=False),
     }
     state: State = {}
     params["bn_fc"], state["bn_fc"] = layers.batchnorm_init(widths[0])
 
     cin = widths[0]
     for i in range(_N_UP):
-        cout = widths[i + 1] if i + 1 < _N_UP else cfg.channels
-        params[f"deconv{i}"] = layers.deconv2d_init(keys[2 + i], 4, cin, cout)
-        if i + 1 < _N_UP:  # no BN before the tanh output layer
+        last = i + 1 == _N_UP
+        cout = cfg.channels if last else widths[i + 1]
+        params[f"deconv{i}"] = layers.deconv2d_init(keys[2 + i], 4, cin, cout,
+                                                    bias=last)
+        if not last:  # no BN before the tanh output layer
             params[f"bn{i}"], state[f"bn{i}"] = layers.batchnorm_init(cout)
         cin = cout
     return params, state
@@ -128,6 +133,27 @@ def generate(params: Params, state: State, key: jax.Array, n: int,
     videos, _, _ = sample_videos(params, state, key, n, cfg, train=False,
                                  labels=labels, video_length=video_length)
     return videos
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _generate_jit(cfg: ModelConfig, n: int, video_length: Optional[int]):
+    def run(params, state, key, labels):
+        return generate(params, state, key, n, cfg, labels=labels,
+                        video_length=video_length)
+
+    return jax.jit(run)
+
+
+def generate_fast(params: Params, state: State, key: jax.Array, n: int,
+                  cfg: ModelConfig, *, labels: Optional[jax.Array] = None,
+                  video_length: Optional[int] = None) -> jax.Array:
+    """jit-cached ``generate``. Numerically identical (same fp32 program);
+    use it on remote-tunnel TPU backends where eager dispatch pays a
+    multi-second round trip per primitive."""
+    return _generate_jit(cfg, n, video_length)(params, state, key, labels)
 
 
 def to_uint8(videos: jax.Array) -> jax.Array:

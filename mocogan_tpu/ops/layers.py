@@ -36,24 +36,32 @@ def _cast(x: jax.Array, dtype) -> jax.Array:
 # Dense
 # ---------------------------------------------------------------------------
 
-def dense_init(key: jax.Array, din: int, dout: int) -> Params:
+def dense_init(key: jax.Array, din: int, dout: int, *,
+               bias: bool = True) -> Params:
     w = jax.random.normal(key, (din, dout), jnp.float32) * _W_STD
-    return {"w": w, "b": jnp.zeros((dout,), jnp.float32)}
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((dout,), jnp.float32)
+    return p
 
 
 def dense(p: Params, x: jax.Array, *, dtype=jnp.float32) -> jax.Array:
     y = jnp.dot(_cast(x, dtype), _cast(p["w"], dtype),
                 preferred_element_type=jnp.float32)
-    return y + p["b"]
+    return y + p["b"] if "b" in p else y
 
 
 # ---------------------------------------------------------------------------
 # 2D convolution (NHWC, HWIO)
 # ---------------------------------------------------------------------------
 
-def conv2d_init(key: jax.Array, k: int, cin: int, cout: int) -> Params:
+def conv2d_init(key: jax.Array, k: int, cin: int, cout: int, *,
+                bias: bool = True) -> Params:
     w = jax.random.normal(key, (k, k, cin, cout), jnp.float32) * _W_STD
-    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
 
 
 def conv2d(p: Params, x: jax.Array, *, stride: int = 2, padding="SAME",
@@ -64,18 +72,22 @@ def conv2d(p: Params, x: jax.Array, *, stride: int = 2, padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y + p["b"] if "b" in p else y
 
 
 # ---------------------------------------------------------------------------
 # 2D transposed convolution (the reference's L.Deconvolution2D)
 # ---------------------------------------------------------------------------
 
-def deconv2d_init(key: jax.Array, k: int, cin: int, cout: int) -> Params:
+def deconv2d_init(key: jax.Array, k: int, cin: int, cout: int, *,
+                bias: bool = True) -> Params:
     # HWIO with I=cin (the *input* of the transposed conv), matching
     # jax.lax.conv_transpose's expectation for dimension_numbers below.
     w = jax.random.normal(key, (k, k, cin, cout), jnp.float32) * _W_STD
-    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
 
 
 def deconv2d(p: Params, x: jax.Array, *, stride: int = 2, padding="SAME",
@@ -86,7 +98,7 @@ def deconv2d(p: Params, x: jax.Array, *, stride: int = 2, padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y + p["b"] if "b" in p else y
 
 
 # ---------------------------------------------------------------------------
@@ -94,9 +106,12 @@ def deconv2d(p: Params, x: jax.Array, *, stride: int = 2, padding="SAME",
 # ---------------------------------------------------------------------------
 
 def conv3d_init(key: jax.Array, k: Tuple[int, int, int], cin: int,
-                cout: int) -> Params:
+                cout: int, *, bias: bool = True) -> Params:
     w = jax.random.normal(key, (*k, cin, cout), jnp.float32) * _W_STD
-    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
 
 
 def conv3d(p: Params, x: jax.Array, *, stride: Tuple[int, int, int],
@@ -107,7 +122,7 @@ def conv3d(p: Params, x: jax.Array, *, stride: Tuple[int, int, int],
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y + p["b"] if "b" in p else y
 
 
 # ---------------------------------------------------------------------------

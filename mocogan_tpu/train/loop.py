@@ -76,7 +76,7 @@ class Trainer:
         return real, lab
 
     def save_samples(self, step: int, n: int = 16) -> str:
-        vids = generator.generate(
+        vids = generator.generate_fast(
             self.state.params["gen"], self.state.bn["gen"], self._eval_key,
             n, self.cfg.model)
         u8 = np.asarray(jax.device_get(generator.to_uint8(vids)))

@@ -1,0 +1,101 @@
+"""Checkpoint/resume roundtrip (SURVEY.md §5) and clip-dataset tests (R6)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mocogan_tpu.data import clips, synthetic
+from mocogan_tpu.train import state as train_state
+from mocogan_tpu.train import step as train_step
+from mocogan_tpu.utils.checkpoint import CheckpointManager
+
+
+def test_checkpoint_roundtrip(tiny_cfg, tiny_batch, tmp_path):
+    vids, _ = tiny_batch
+    s = train_state.create(tiny_cfg)
+    fn = train_step.jitted_train_step(tiny_cfg)
+    s, _ = fn(s, jnp.asarray(vids), None)
+    s, _ = fn(s, jnp.asarray(vids), None)
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    saved_step = mngr.save(s, wait=True)
+    assert saved_step == 2
+    assert mngr.latest_step() == 2
+
+    template = train_state.create(tiny_cfg)
+    restored = mngr.restore(template)
+    assert int(jax.device_get(restored.step)) == 2
+    for a, b in zip(jax.tree.leaves(jax.device_get(s.params)),
+                    jax.tree.leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(a, b)
+
+    # training continues identically from the restored state
+    s_next, m1 = fn(s, jnp.asarray(vids), None)
+    r_next, m2 = fn(restored, jnp.asarray(vids), None)
+    m1, m2 = jax.device_get((m1, m2))
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-6)
+    mngr.close()
+
+
+def _write_clip_tree(root, n_classes=2, clips_per_class=3, t=12, size=48):
+    rng = np.random.default_rng(0)
+    for c in range(n_classes):
+        d = os.path.join(root, f"class{c}")
+        os.makedirs(d)
+        for i in range(clips_per_class):
+            clip = rng.integers(0, 256, size=(t, size, size, 3),
+                                dtype=np.uint8)
+            np.save(os.path.join(d, f"clip{i}.npy"), clip)
+
+
+def test_clip_dataset_with_classes(tmp_path):
+    _write_clip_tree(str(tmp_path))
+    ds = clips.ClipDataset(str(tmp_path), video_length=8)
+    assert len(ds) == 6
+    assert ds.n_classes == 2
+    rng = np.random.default_rng(1)
+    raw, idx, label = ds.get_example(0, rng)
+    assert raw.shape == (12, 48, 48, 3) and raw.dtype == np.uint8
+    assert idx.shape == (8,)
+    assert (np.diff(idx) == 1).all()          # contiguous window
+    assert label in (0, 1)
+
+
+def test_clip_dataset_short_clip_loops(tmp_path):
+    np.save(tmp_path / "short.npy",
+            np.zeros((4, 8, 8, 3), np.uint8))
+    ds = clips.ClipDataset(str(tmp_path), video_length=8)
+    _, idx, _ = ds.get_example(0, np.random.default_rng(0))
+    assert idx.tolist() == [0, 1, 2, 3, 0, 1, 2, 3]
+
+
+def test_clip_batch_iterator(tmp_path, tiny_cfg):
+    import dataclasses
+    _write_clip_tree(str(tmp_path))
+    cfg = dataclasses.replace(
+        tiny_cfg, data=dataclasses.replace(tiny_cfg.data,
+                                           data_dir=str(tmp_path)))
+    it = clips.clip_batch_iterator(cfg)
+    batch = next(it)
+    b, t = cfg.train.batch_size, cfg.model.video_length
+    assert batch["raw"].shape == (b, t, 48, 48, 3)
+    assert batch["raw"].dtype == np.uint8
+    assert batch["frame_idx"].shape == (b, t)
+    assert batch["labels"].shape == (b,)
+
+
+def test_empty_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        clips.ClipDataset(str(tmp_path), video_length=8)
+
+
+def test_synthetic_determinism():
+    a, la = synthetic.make_batch(7, 4, t=6, size=32)
+    b, lb = synthetic.make_batch(7, 4, t=6, size=32)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(la, lb)
+    assert a.min() >= -1.0 and a.max() <= 1.0

@@ -1,0 +1,98 @@
+"""Data-parallel correctness (SURVEY.md §4: sharded step == single-device
+step on the concatenated batch) on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mocogan_tpu.parallel import mesh as pmesh
+from mocogan_tpu.train import state as train_state
+from mocogan_tpu.train import step as train_step
+
+
+def test_mesh_uses_all_devices():
+    m = pmesh.make_mesh()
+    assert m.devices.size == 8
+
+
+def test_mesh_subset_and_errors():
+    assert pmesh.make_mesh(4).devices.size == 4
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(16)
+
+
+def test_sharded_step_matches_single_device(tiny_cfg, tiny_batch):
+    vids, _ = tiny_batch
+
+    # single device reference
+    s1 = train_state.create(tiny_cfg)
+    fn1 = train_step.jitted_train_step(tiny_cfg)
+    s1, m1 = fn1(s1, jnp.asarray(vids), None)
+
+    # 8-way data-parallel
+    mesh = pmesh.make_mesh(8)
+    s8 = pmesh.shard_state(mesh, train_state.create(tiny_cfg))
+    fn8 = pmesh.make_sharded_train_step(tiny_cfg, mesh)
+    real = pmesh.shard_batch(mesh, vids)
+    s8, m8 = fn8(s8, real, None)
+
+    m1, m8 = jax.device_get((m1, m8))
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
+
+
+def test_psummed_grads_match_full_batch_grads(tiny_cfg, tiny_batch):
+    """SURVEY.md §4: gradients from the GSPMD-sharded loss == full-batch
+    gradients. (Params after an Adam step are NOT comparable: Adam's
+    first-step update is +-lr*sign(g), which amplifies epsilon-level
+    reduction-order noise on near-zero grads to 2*lr.)"""
+    from mocogan_tpu.utils import prng
+
+    vids, _ = tiny_batch
+    s = train_state.create(tiny_cfg)
+    key = prng.step_key(s.root_key, s.step)
+
+    def grads_of(real, params, bn):
+        g, _ = jax.grad(train_step._loss_fn, has_aux=True)(
+            params, bn, real, None, key, tiny_cfg)
+        return g
+
+    g1 = jax.jit(grads_of)(jnp.asarray(vids), s.params, s.bn)
+
+    mesh = pmesh.make_mesh(8)
+    real8 = pmesh.shard_batch(mesh, vids)
+    s8 = pmesh.shard_state(mesh, s)
+    g8 = jax.jit(grads_of)(real8, s8.params, s8.bn)
+
+    g1, g8 = jax.device_get((g1, g8))
+    # f32 tolerance: sharded reductions change summation order/blocking, and
+    # cancellation-heavy sums (BN bias grads) retain ~1e-5 absolute residue;
+    # a real semantics bug (e.g. per-shard BN stats) shows up at >=1e-1.
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        scale = np.maximum(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3)
+
+
+def test_sharded_multi_step_stays_finite(tiny_cfg, tiny_batch):
+    vids, _ = tiny_batch
+    mesh = pmesh.make_mesh(8)
+    s = pmesh.shard_state(mesh, train_state.create(tiny_cfg))
+    fn = pmesh.make_sharded_train_step(tiny_cfg, mesh)
+    for i in range(3):
+        real = pmesh.shard_batch(mesh, vids)
+        s, m = fn(s, real, None)
+    m = jax.device_get(m)
+    assert all(np.isfinite(v) for v in m.values())
+    assert int(jax.device_get(s.step)) == 3
+
+
+def test_batch_sharding_layout(tiny_cfg, tiny_batch):
+    vids, _ = tiny_batch
+    mesh = pmesh.make_mesh(8)
+    real = pmesh.shard_batch(mesh, vids)
+    assert real.sharding.spec == jax.sharding.PartitionSpec("data")
+    # each device holds B/8 clips
+    shard = real.addressable_shards[0]
+    assert shard.data.shape[0] == vids.shape[0] // 8

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Training CLI — the reference's ``train.py`` surface (R8; SURVEY.md §3.1)
+on top of typed configs.
+
+Examples:
+    python train.py --config toy --total-steps 2000
+    python train.py --config mug --data-dir /data/mug_clips
+    python train.py --config scaled --set train.batch_size=64
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+
+
+def parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="toy",
+                    help="toy | mug | weizmann | categorical | scaled")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--total-steps", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--num-devices", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--set", nargs="*", metavar="K=V", dest="overrides",
+                    help="dotted config overrides, e.g. model.video_length=32")
+    args = ap.parse_args(argv)
+
+    overrides = parse_overrides(args.overrides)
+    if args.data_dir is not None:
+        overrides["data.data_dir"] = args.data_dir
+    if args.total_steps is not None:
+        overrides["train.total_steps"] = args.total_steps
+    if args.batch_size is not None:
+        overrides["train.batch_size"] = args.batch_size
+    if args.seed is not None:
+        overrides["train.seed"] = args.seed
+    if args.num_devices is not None:
+        overrides["train.num_devices"] = args.num_devices
+
+    from mocogan_tpu import get_config
+    from mocogan_tpu.train.loop import Trainer, make_data_iterator
+
+    cfg = get_config(args.config, **overrides)
+    print(f"[train] config={cfg.name} model={cfg.model} train={cfg.train}")
+    trainer = Trainer(cfg, out_dir=args.out_dir, resume=not args.no_resume)
+    trainer.run(make_data_iterator(cfg))
+
+
+if __name__ == "__main__":
+    main()
