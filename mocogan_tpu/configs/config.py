@@ -76,6 +76,9 @@ class TrainConfig:
     log_every: int = 100
     sample_every: int = 1_000
     keep_checkpoints: int = 3
+    # Periodic FVD tracking (proxy extractor; relative metric). 0 = off.
+    eval_every: int = 0
+    eval_clips: int = 64
 
     # Data parallelism over ICI (BASELINE B1): number of devices to shard
     # the batch over. None => use all visible devices.

@@ -66,14 +66,55 @@ class Trainer:
             print(f"[trainer] resumed from step {self.ckpt.latest_step()}")
         self.state = pmesh.shard_state(self.mesh, state)
         self._eval_key = jax.random.key(cfg.train.seed + 1_000_000)
+        self._preproc_fn = None  # jitted fused ingest, built on first use
+        self._fvd_extractor = None
 
     # -- helpers ----------------------------------------------------------
 
-    def _put(self, vids: np.ndarray, labels: Optional[np.ndarray]):
-        real = pmesh.shard_batch(self.mesh, vids)
+    def _fused_preproc(self):
+        """jitted B3 ingest: sharded uint8 raw clips -> [-1,1] f32 videos."""
+        if self._preproc_fn is None:
+            from mocogan_tpu.ops import preproc
+
+            size = self.cfg.model.image_size
+            use_pallas = (self.cfg.data.fused_preproc
+                          and jax.default_backend() == "tpu")
+            bsh = pmesh.batch_sharding(self.mesh)
+            self._preproc_fn = jax.jit(
+                lambda raw, idx: preproc.subsample_and_preprocess(
+                    raw, idx, size, use_pallas=use_pallas),
+                in_shardings=(bsh, bsh), out_shardings=bsh)
+        return self._preproc_fn
+
+    def _put(self, batch, labels: Optional[np.ndarray] = None):
+        """Accepts either (videos f32 in [-1,1], labels) pairs (synthetic
+        path) or the clip pipeline's {"raw" uint8, "frame_idx", "labels"}
+        dict (R6 + fused on-device preproc, B3)."""
+        if isinstance(batch, dict):
+            raw = pmesh.shard_batch(self.mesh, batch["raw"])
+            idx = pmesh.shard_batch(self.mesh, batch["frame_idx"])
+            real = self._fused_preproc()(raw, idx)
+            labels = batch.get("labels")
+        else:
+            real = pmesh.shard_batch(self.mesh, batch)
         lab = (pmesh.shard_batch(self.mesh, labels)
                if labels is not None and self.cfg.model.conditional else None)
         return real, lab
+
+    def eval_fvd(self, real_pool: np.ndarray) -> float:
+        """FVD between freshly generated clips and a pool of real clips
+        (fixed-seed random-projection extractor — relative tracking metric;
+        see eval/fvd.py for why absolute I3D-FVD is unavailable offline)."""
+        from mocogan_tpu.eval import fvd as fvd_mod
+
+        n = min(self.cfg.train.eval_clips, len(real_pool))
+        vids = generator.generate_fast(
+            self.state.params["gen"], self.state.bn["gen"], self._eval_key,
+            n, self.cfg.model)
+        if self._fvd_extractor is None:
+            self._fvd_extractor = fvd_mod.RandomProjectionFeatures()
+        return fvd_mod.fvd(np.asarray(jax.device_get(vids)), real_pool[:n],
+                           extractor=self._fvd_extractor)
 
     def save_samples(self, step: int, n: int = 16) -> str:
         vids = generator.generate_fast(
@@ -97,13 +138,18 @@ class Trainer:
         t_window = time.time()
         last: Dict[str, float] = {}
 
-        real, lab = self._put(*next(data_iterator))
+        def put_next():
+            nxt = next(data_iterator)
+            return self._put(*nxt) if isinstance(nxt, tuple) \
+                else self._put(nxt)
+
+        real, lab = put_next()
         for step in range(start, total):
             state, metrics = self.step_fn(self.state, real, lab)
             self.state = state
             # prefetch next batch while the step runs asynchronously
             if step + 1 < total:
-                real, lab = self._put(*next(data_iterator))
+                real, lab = put_next()
             acc = metrics if acc is None else jax.tree.map(
                 jnp.add, acc, metrics)
             n_acc += 1
@@ -123,6 +169,10 @@ class Trainer:
 
             if (step + 1) % cfg.train.sample_every == 0:
                 self.save_samples(step + 1)
+            if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
+                score = self.eval_fvd(np.asarray(jax.device_get(real)))
+                self.logger.log(step + 1, {"fvd_proxy": score})
+                print(f"[step {step + 1}] fvd_proxy={score:.2f}")
             if (step + 1) % cfg.train.checkpoint_every == 0:
                 self.ckpt.save(self.state)
 

@@ -44,6 +44,69 @@ def test_trainer_end_to_end(tmp_path, tiny_cfg):
     tr2.ckpt.close()
 
 
+def test_trainer_clip_pipeline_with_fused_preproc(tmp_path, tiny_cfg):
+    """Real-data path end to end: uint8 .npy clips -> dict batches ->
+    on-device fused resize+normalize -> train step; plus the FVD hook."""
+    import numpy as np
+
+    from mocogan_tpu.train.loop import Trainer, make_data_iterator
+
+    # clip store at raw 48x48, model trains at 32x32 (exercises the resize)
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "clips"
+    for c in range(2):
+        d = data_dir / f"class{c}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            np.save(d / f"clip{i}.npy",
+                    rng.integers(0, 256, size=(12, 48, 48, 3),
+                                 dtype=np.uint8))
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        name="clipsmoke",
+        train=dataclasses.replace(
+            tiny_cfg.train, total_steps=6, log_every=3, sample_every=100,
+            checkpoint_every=100, num_devices=2, eval_every=6, eval_clips=8),
+        data=dataclasses.replace(tiny_cfg.data, dataset="npy_dir",
+                                 data_dir=str(data_dir), raw_size=48),
+        out_dir=str(tmp_path / "runs"),
+    )
+    tr = Trainer(cfg)
+    last = tr.run(make_data_iterator(cfg))
+    assert all(np.isfinite(v) for v in last.values())
+    recs = [json.loads(l)
+            for l in open(os.path.join(str(tmp_path / "runs"), "clipsmoke",
+                                       "log.jsonl"))]
+    assert any("fvd_proxy" in r for r in recs)
+    tr.ckpt.close()
+
+
+def test_scaled_config_geometry():
+    """Config 5 (96x96x32f) shape arithmetic: all nets init and the video
+    discriminator's flatten dim is consistent at a reduced width."""
+    import jax
+    import jax.numpy as jnp
+
+    from mocogan_tpu import get_config
+    from mocogan_tpu.models import discriminators, generator
+    from mocogan_tpu.train import state as train_state
+
+    cfg = get_config("scaled", **{
+        "model.gen_features": 8, "model.disc_features": 8,
+        "train.batch_size": 2, "model.compute_dtype": "float32",
+    })
+    m = cfg.model
+    assert (m.image_size, m.video_length) == (96, 32)
+    s = train_state.create(cfg)
+    vids, new_bn, _ = generator.sample_videos(
+        s.params["gen"], s.bn["gen"], jax.random.key(0), 2, m, train=True)
+    assert vids.shape == (2, 32, 96, 96, 3)
+    logits, cls, _ = discriminators.video_apply(
+        s.params["dv"], s.bn["dv"], vids, m, train=True)
+    assert logits.shape == (2, 1)
+
+
 def test_fvd_zero_for_identical_sets():
     vids = np.random.default_rng(0).uniform(
         -1, 1, size=(24, 4, 32, 32, 3)).astype(np.float32)
