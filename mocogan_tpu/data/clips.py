@@ -81,34 +81,61 @@ class ClipDataset:
 
 def clip_batch_iterator(cfg: ExperimentConfig,
                         dataset: Optional[ClipDataset] = None,
-                        seed: Optional[int] = None
+                        seed: Optional[int] = None,
+                        use_native: Optional[bool] = None
                         ) -> Iterator[Dict[str, np.ndarray]]:
     """Endless shuffled batches of raw uint8 clips + window indices.
 
-    All clips in one directory are expected to share (T_raw, H, W, C) after
-    offline preprocessing (data/preprocess.py pads/crops to a fixed length);
-    mixed lengths are handled by windowing each clip before stacking.
+    Batch assembly goes through the native C++ clip store
+    (mocogan_tpu/native/clipstore.cc: mmap + one memcpy per frame run) when
+    available, falling back to per-item np.load windowing. All clips in one
+    directory are expected to share (H, W, C) after offline preprocessing.
     """
     ds = dataset or ClipDataset(cfg.data.data_dir, cfg.model.video_length)
     rng = np.random.default_rng(cfg.train.seed if seed is None else seed)
     b = cfg.train.batch_size
+    t = cfg.model.video_length
+    trivial_idx = np.broadcast_to(np.arange(t, dtype=np.int32), (b, t))
+
+    store = None
+    if use_native is not False:
+        from mocogan_tpu.data import native
+
+        if native.native_available():
+            try:
+                store = native.NativeClipStore(ds.files, ds.labels)
+            except (ValueError, RuntimeError) as e:
+                if use_native:
+                    raise
+                import warnings
+
+                warnings.warn(f"native clipstore rejected dataset: {e}")
+        elif use_native:
+            raise RuntimeError("native clipstore requested but unavailable")
+
     order = rng.permutation(len(ds))
     pos = 0
     while True:
-        raws, idxs, labels = [], [], []
-        for _ in range(b):
-            if pos >= len(order):
-                order = rng.permutation(len(ds))
-                pos = 0
-            raw, idx, lab = ds.get_example(int(order[pos]), rng)
-            pos += 1
-            # Window on the host when clip lengths differ; keeps the stacked
-            # raw batch rectangular while still doing resize on device.
-            raws.append(raw[idx])
-            idxs.append(np.arange(cfg.model.video_length, dtype=np.int32))
-            labels.append(lab)
-        yield {
-            "raw": np.stack(raws),
-            "frame_idx": np.stack(idxs),
-            "labels": np.asarray(labels, np.int32),
-        }
+        if pos + b > len(order):
+            order = rng.permutation(len(ds))
+            pos = 0
+            if b > len(order):
+                order = np.tile(order, -(-b // len(order)))
+        sel = order[pos:pos + b]
+        pos += b
+        if store is not None:
+            lens = np.asarray([store.clip_frames(int(i)) for i in sel])
+            starts = (rng.integers(0, 1 << 30, size=b)
+                      % np.maximum(lens - t + 1, 1))
+            raw = store.fill_batch(sel.astype(np.int32),
+                                   starts.astype(np.int64), t)
+            labels = store.labels[sel]
+        else:
+            raws, labels = [], []
+            for i in sel:
+                clip, idx, lab = ds.get_example(int(i), rng)
+                raws.append(clip[idx])
+                labels.append(lab)
+            raw = np.stack(raws)
+            labels = np.asarray(labels, np.int32)
+        yield {"raw": raw, "frame_idx": trivial_idx, "labels": labels}

@@ -1,0 +1,133 @@
+"""Native C++ clip store: correctness vs the Python loader + throughput."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from mocogan_tpu.data import native
+
+
+def _write_clips(tmp_path, n=4, t=20, h=48, w=48, c=3):
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n):
+        clip = rng.integers(0, 256, size=(t + i, h, w, c), dtype=np.uint8)
+        p = str(tmp_path / f"clip{i}.npy")
+        np.save(p, clip)
+        paths.append(p)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.native_available():
+        pytest.skip("g++/native lib unavailable")
+    return True
+
+
+def test_open_and_dims(tmp_path, lib_ok):
+    paths = _write_clips(tmp_path)
+    store = native.NativeClipStore(paths, labels=list(range(len(paths))))
+    assert len(store) == 4
+    assert store.frame_shape == (48, 48, 3)
+    assert store.clip_frames(0) == 20
+    assert store.clip_frames(3) == 23
+    store.close()
+
+
+def test_fill_batch_matches_numpy(tmp_path, lib_ok):
+    paths = _write_clips(tmp_path)
+    store = native.NativeClipStore(paths, labels=[0] * 4)
+    clip_idx = np.array([0, 2, 3, 1], np.int32)
+    starts = np.array([0, 5, 7, 2], np.int64)
+    t = 8
+    out = store.fill_batch(clip_idx, starts, t)
+    for j, (ci, st) in enumerate(zip(clip_idx, starts)):
+        ref = np.load(paths[ci])
+        n = ref.shape[0]
+        idx = (st + np.arange(t)) % n
+        np.testing.assert_array_equal(out[j], ref[idx])
+    store.close()
+
+
+def test_fill_batch_wraps_short_clips(tmp_path, lib_ok):
+    clip = np.arange(3 * 2 * 2 * 1, dtype=np.uint8).reshape(3, 2, 2, 1)
+    p = str(tmp_path / "short.npy")
+    np.save(p, clip)
+    store = native.NativeClipStore([p], labels=[0])
+    out = store.fill_batch(np.array([0], np.int32), np.array([1], np.int64),
+                           7)
+    idx = (1 + np.arange(7)) % 3
+    np.testing.assert_array_equal(out[0], clip[idx])
+    store.close()
+
+
+def test_bad_index_raises(tmp_path, lib_ok):
+    paths = _write_clips(tmp_path, n=1)
+    store = native.NativeClipStore(paths, labels=[0])
+    with pytest.raises(IndexError):
+        store.fill_batch(np.array([5], np.int32), np.array([0], np.int64), 4)
+    store.close()
+
+
+def test_non_uint8_rejected(tmp_path, lib_ok):
+    p = str(tmp_path / "f32.npy")
+    np.save(p, np.zeros((2, 4, 4, 3), np.float32))
+    with pytest.raises(ValueError, match="uint8"):
+        native.NativeClipStore([p], labels=[0])
+
+
+def test_iterator_uses_native_and_matches_python(tmp_path, lib_ok, tiny_cfg):
+    import dataclasses
+
+    from mocogan_tpu.data import clips
+
+    rng = np.random.default_rng(1)
+    for i in range(5):
+        np.save(tmp_path / f"c{i}.npy",
+                rng.integers(0, 256, size=(16, 32, 32, 3), dtype=np.uint8))
+    cfg = dataclasses.replace(
+        tiny_cfg, data=dataclasses.replace(tiny_cfg.data,
+                                           data_dir=str(tmp_path)))
+    it_native = clips.clip_batch_iterator(cfg, use_native=True)
+    it_python = clips.clip_batch_iterator(cfg, use_native=False)
+    bn = next(it_native)
+    bp = next(it_python)
+    assert bn["raw"].shape == bp["raw"].shape
+    assert bn["raw"].dtype == np.uint8
+    # both draw from the same clip set (contents differ by RNG stream
+    # design; shapes/labels structure must agree)
+    assert bn["labels"].shape == bp["labels"].shape
+
+
+def test_native_faster_than_python(tmp_path, lib_ok):
+    """Throughput sanity: native batch assembly should beat np.load+slice."""
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(16):
+        p = str(tmp_path / f"b{i}.npy")
+        np.save(p, rng.integers(0, 256, size=(32, 96, 96, 3),
+                                dtype=np.uint8))
+        paths.append(p)
+    store = native.NativeClipStore(paths, labels=[0] * 16)
+    clip_idx = rng.integers(0, 16, size=16).astype(np.int32)
+    starts = rng.integers(0, 16, size=16).astype(np.int64)
+    store.fill_batch(clip_idx, starts, 16)  # warm page cache
+
+    t0 = time.perf_counter()
+    for _ in range(20):
+        store.fill_batch(clip_idx, starts, 16)
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(20):
+        batch = []
+        for ci, st in zip(clip_idx, starts):
+            ref = np.load(paths[ci], mmap_mode="r")
+            batch.append(np.asarray(ref[st:st + 16]))
+        np.stack(batch)
+    t_python = time.perf_counter() - t0
+    assert t_native < t_python, (t_native, t_python)
+    store.close()
