@@ -32,6 +32,14 @@ def _cast(x: jax.Array, dtype) -> jax.Array:
     return x.astype(dtype) if x.dtype != dtype else x
 
 
+def _acc_type(dtype):
+    """f32 accumulation request is only safe when operands are f32: with
+    bf16 operands + preferred_element_type=f32, the conv VJP produces
+    mixed-dtype cotangent/operand pairs that lax rejects. For bf16 the MXU
+    accumulates in f32 internally regardless."""
+    return jnp.float32 if jnp.dtype(dtype) == jnp.float32 else None
+
+
 # ---------------------------------------------------------------------------
 # Dense
 # ---------------------------------------------------------------------------
@@ -47,7 +55,7 @@ def dense_init(key: jax.Array, din: int, dout: int, *,
 
 def dense(p: Params, x: jax.Array, *, dtype=jnp.float32) -> jax.Array:
     y = jnp.dot(_cast(x, dtype), _cast(p["w"], dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=_acc_type(dtype))
     return y + p["b"] if "b" in p else y
 
 
@@ -70,7 +78,7 @@ def conv2d(p: Params, x: jax.Array, *, stride: int = 2, padding="SAME",
         _cast(x, dtype), _cast(p["w"], dtype),
         window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_type(dtype),
     )
     return y + p["b"] if "b" in p else y
 
@@ -96,7 +104,7 @@ def deconv2d(p: Params, x: jax.Array, *, stride: int = 2, padding="SAME",
         _cast(x, dtype), _cast(p["w"], dtype),
         strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_type(dtype),
     )
     return y + p["b"] if "b" in p else y
 
@@ -120,7 +128,7 @@ def conv3d(p: Params, x: jax.Array, *, stride: Tuple[int, int, int],
         _cast(x, dtype), _cast(p["w"], dtype),
         window_strides=stride, padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_type(dtype),
     )
     return y + p["b"] if "b" in p else y
 

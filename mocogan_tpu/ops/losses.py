@@ -17,14 +17,15 @@ import jax.numpy as jnp
 
 
 def d_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
-    """Discriminator loss; logits of any matching shape, mean-reduced."""
-    return (jnp.mean(jax.nn.softplus(-real_logits))
-            + jnp.mean(jax.nn.softplus(fake_logits)))
+    """Discriminator loss; logits of any matching shape, mean-reduced.
+    Always computed in fp32 (bf16 softplus loses the loss signal)."""
+    return (jnp.mean(jax.nn.softplus(-real_logits.astype(jnp.float32)))
+            + jnp.mean(jax.nn.softplus(fake_logits.astype(jnp.float32))))
 
 
 def g_loss(fake_logits: jax.Array) -> jax.Array:
-    """Non-saturating generator loss."""
-    return jnp.mean(jax.nn.softplus(-fake_logits))
+    """Non-saturating generator loss (fp32)."""
+    return jnp.mean(jax.nn.softplus(-fake_logits.astype(jnp.float32)))
 
 
 def categorical_loss(class_logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -60,10 +60,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays: Any) -> Tuple[jax.Array, ...]:
-    """Place host arrays onto the mesh, batch axis sharded."""
+    """Place host arrays onto the mesh, batch axis sharded.
+
+    Single host: a plain device_put scatter. Multi-host: each process passes
+    its LOCAL batch shard (global_batch / process_count examples) and the
+    global array is assembled across processes without any cross-host copy
+    of the data itself (per-host input sharding, BASELINE B1)."""
     sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) if a is not None else None
-                for a in arrays)
+    if jax.process_count() > 1:
+        def put(a):
+            return jax.make_array_from_process_local_data(sh, np.asarray(a))
+    else:
+        def put(a):
+            return jax.device_put(a, sh)
+    out = tuple(put(a) if a is not None else None for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

@@ -48,10 +48,10 @@ class MetricLogger:
             return None
         if not self._history:
             return None
-        keys = keys or sorted(
-            k for k in self._history[-1]
-            if k.startswith("loss") and
-            all(isinstance(h.get(k), (int, float)) for h in self._history))
+        keys = keys or sorted({
+            k for h in self._history for k in h
+            if k.startswith(("loss", "fvd"))
+            and isinstance(h[k], (int, float))})
         fig, ax = plt.subplots(figsize=(8, 5))
         steps = [h["step"] for h in self._history]
         for k in keys:

@@ -83,6 +83,26 @@ def test_categorical_step(tiny_cat_cfg):
     assert all(np.isfinite(v) for v in metrics.values())
 
 
+def test_bfloat16_compute_step(tiny_cfg):
+    """bf16 compute path (config 5) trains: params stay fp32, losses finite."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg, model=dataclasses.replace(tiny_cfg.model,
+                                            compute_dtype="bfloat16"))
+    vids, _ = synthetic.make_batch(0, cfg.train.batch_size,
+                                   t=cfg.model.video_length,
+                                   size=cfg.model.image_size)
+    s = train_state.create(cfg)
+    fn = train_step.jitted_train_step(cfg)
+    s, m = fn(s, jnp.asarray(vids), None)
+    m = jax.device_get(m)
+    assert all(np.isfinite(v) for v in m.values())
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(jax.device_get(s.params))
+               if hasattr(p, "dtype"))
+
+
 def test_integration_50_steps(tiny_cfg):
     """50-step run on synthetic clips: finite losses, D learns (its loss
     drops), G's samples change (training is actually updating G)."""

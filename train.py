@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--num-devices", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans (SURVEY.md §5 sanitizers)")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of the first steps here")
     ap.add_argument("--set", nargs="*", metavar="K=V", dest="overrides",
                     help="dotted config overrides, e.g. model.video_length=32")
     args = ap.parse_args(argv)
@@ -52,12 +56,25 @@ def main(argv=None):
     if args.num_devices is not None:
         overrides["train.num_devices"] = args.num_devices
 
+    import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     from mocogan_tpu import get_config
     from mocogan_tpu.train.loop import Trainer, make_data_iterator
 
     cfg = get_config(args.config, **overrides)
     print(f"[train] config={cfg.name} model={cfg.model} train={cfg.train}")
     trainer = Trainer(cfg, out_dir=args.out_dir, resume=not args.no_resume)
+    if args.profile_dir:
+        from mocogan_tpu.utils import profiling
+
+        with profiling.trace(args.profile_dir):
+            trainer.run(make_data_iterator(cfg),
+                        total_steps=min(20, cfg.train.total_steps))
+        print(f"[train] profile written to {args.profile_dir}; "
+              "continuing unprofiled")
     trainer.run(make_data_iterator(cfg))
 
 
