@@ -43,6 +43,10 @@ class ModelConfig:
     # Numerics. Params are always fp32; compute may run in bfloat16 on TPU.
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
 
+    # Rematerialize the frame decoder in the backward pass (trade FLOPs for
+    # HBM headroom at the 96x96x32f scale; SURVEY.md §5 long-context row).
+    remat: bool = False
+
     @property
     def dim_z(self) -> int:
         """Per-frame latent fed to the image generator: [z_C, onehot?, z_M]."""
@@ -163,7 +167,7 @@ def _scaled() -> ExperimentConfig:
         name="scaled",
         model=ModelConfig(
             image_size=96, channels=3, video_length=32,
-            compute_dtype="bfloat16",
+            compute_dtype="bfloat16", remat=True,
         ),
         train=TrainConfig(batch_size=64, num_devices=8),
         data=DataConfig(dataset="weizmann", raw_size=128, fused_preproc=True),

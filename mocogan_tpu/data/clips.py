@@ -82,7 +82,8 @@ class ClipDataset:
 def clip_batch_iterator(cfg: ExperimentConfig,
                         dataset: Optional[ClipDataset] = None,
                         seed: Optional[int] = None,
-                        use_native: Optional[bool] = None
+                        use_native: Optional[bool] = None,
+                        start_batch: int = 0
                         ) -> Iterator[Dict[str, np.ndarray]]:
     """Endless shuffled batches of raw uint8 clips + window indices.
 
@@ -92,7 +93,7 @@ def clip_batch_iterator(cfg: ExperimentConfig,
     directory are expected to share (H, W, C) after offline preprocessing.
     """
     ds = dataset or ClipDataset(cfg.data.data_dir, cfg.model.video_length)
-    rng = np.random.default_rng(cfg.train.seed if seed is None else seed)
+    base_seed = cfg.train.seed if seed is None else seed
     b = cfg.train.batch_size
     t = cfg.model.video_length
     trivial_idx = np.broadcast_to(np.arange(t, dtype=np.int32), (b, t))
@@ -113,29 +114,31 @@ def clip_batch_iterator(cfg: ExperimentConfig,
         elif use_native:
             raise RuntimeError("native clipstore requested but unavailable")
 
-    order = rng.permutation(len(ds))
-    pos = 0
+    labels_arr = np.asarray(ds.labels, np.int32)
+    clip_lens = (np.asarray([store.clip_frames(i) for i in range(len(ds))])
+                 if store is not None else None)
+
+    # Batch k is a pure function of (base_seed, k): exact data-stream resume
+    # (SURVEY.md §5 'iterator state for exact resume') costs nothing — the
+    # trainer restarts at k = restored step. Clips are drawn i.i.d. per
+    # batch rather than by epoch shuffle; for adversarial training the two
+    # are statistically equivalent and this one is stateless.
+    k = int(start_batch)
     while True:
-        if pos + b > len(order):
-            order = rng.permutation(len(ds))
-            pos = 0
-            if b > len(order):
-                order = np.tile(order, -(-b // len(order)))
-        sel = order[pos:pos + b]
-        pos += b
+        rng = np.random.default_rng((base_seed, 0xDA7A, k))
+        k += 1
+        sel = rng.integers(0, len(ds), size=b)
         if store is not None:
-            lens = np.asarray([store.clip_frames(int(i)) for i in sel])
+            lens = clip_lens[sel]
             starts = (rng.integers(0, 1 << 30, size=b)
                       % np.maximum(lens - t + 1, 1))
             raw = store.fill_batch(sel.astype(np.int32),
                                    starts.astype(np.int64), t)
-            labels = store.labels[sel]
         else:
-            raws, labels = [], []
+            raws = []
             for i in sel:
-                clip, idx, lab = ds.get_example(int(i), rng)
+                clip, idx, _ = ds.get_example(int(i), rng)
                 raws.append(clip[idx])
-                labels.append(lab)
             raw = np.stack(raws)
-            labels = np.asarray(labels, np.int32)
-        yield {"raw": raw, "frame_idx": trivial_idx, "labels": labels}
+        yield {"raw": raw, "frame_idx": trivial_idx,
+               "labels": labels_arr[sel]}

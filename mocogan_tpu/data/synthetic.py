@@ -51,10 +51,12 @@ def make_batch(seed: int, batch: int, t: int = 16, size: int = 64,
 
 
 def batch_iterator(seed: int, batch: int, t: int = 16, size: int = 64,
-                   channels: int = 3, n_classes: int = 0
+                   channels: int = 3, n_classes: int = 0,
+                   start_batch: int = 0
                    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Endless stream of deterministic batches (seed folded with a counter)."""
-    i = 0
+    """Endless stream of deterministic batches (seed folded with a counter).
+    Batch k is a pure function of (seed, k) -> exact resume from any step."""
+    i = int(start_batch)
     while True:
         yield make_batch(seed * 1_000_003 + i, batch, t, size, channels,
                          n_classes)

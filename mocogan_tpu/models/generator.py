@@ -113,8 +113,19 @@ def sample_videos(params: Params, state: State, key: jax.Array, batch: int,
     parts.append(z_m)
     z = jnp.concatenate(parts, axis=-1).reshape(batch * t, cfg.dim_z)
 
-    frames, new_state = decode_frames(params, state, z, cfg, train=train,
-                                      axis_name=axis_name)
+    decode = decode_frames
+    if cfg.remat and train:
+        # Recompute the decoder activations in the backward pass instead of
+        # holding B*T frames of intermediates in HBM (config 5 headroom).
+        def decode(p, s, zz, cfg, *, train, axis_name=None):  # noqa: ANN001
+            return jax.checkpoint(
+                lambda p_, s_, z_: decode_frames(p_, s_, z_, cfg,
+                                                 train=train,
+                                                 axis_name=axis_name)
+            )(p, s, zz)
+
+    frames, new_state = decode(params, state, z, cfg, train=train,
+                               axis_name=axis_name)
     videos = frames.reshape(batch, t, cfg.image_size, cfg.image_size,
                             cfg.channels)
     return videos, new_state, labels

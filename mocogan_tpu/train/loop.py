@@ -138,6 +138,11 @@ class Trainer:
         t_window = time.time()
         last: Dict[str, float] = {}
 
+        from mocogan_tpu.data.pipeline import ThreadedPrefetcher
+
+        data_iterator = ThreadedPrefetcher(data_iterator,
+                                           depth=cfg.data.prefetch)
+
         def put_next():
             nxt = next(data_iterator)
             return self._put(*nxt) if isinstance(nxt, tuple) \
@@ -176,20 +181,23 @@ class Trainer:
             if (step + 1) % cfg.train.checkpoint_every == 0:
                 self.ckpt.save(self.state)
 
+        data_iterator.close()
         self.ckpt.save(self.state, wait=True)
         self.save_samples(total)
         self.logger.plot()
         return last
 
 
-def make_data_iterator(cfg: ExperimentConfig
+def make_data_iterator(cfg: ExperimentConfig, start_batch: int = 0
                        ) -> Iterator[Tuple[np.ndarray, Any]]:
-    """Build the host-side batch stream for cfg.data.dataset."""
+    """Build the host-side batch stream for cfg.data.dataset. Pass the
+    restored step as start_batch for an exactly-resumed data stream."""
     m, d, t = cfg.model, cfg.data, cfg.train
     if d.dataset == "synthetic":
         from mocogan_tpu.data import synthetic
         return synthetic.batch_iterator(
             t.seed, t.batch_size, t=m.video_length, size=m.image_size,
-            channels=m.channels, n_classes=m.n_classes)
+            channels=m.channels, n_classes=m.n_classes,
+            start_batch=start_batch)
     from mocogan_tpu.data import clips
-    return clips.clip_batch_iterator(cfg)
+    return clips.clip_batch_iterator(cfg, start_batch=start_batch)

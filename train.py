@@ -61,21 +61,28 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    import numpy as np
+
     from mocogan_tpu import get_config
     from mocogan_tpu.train.loop import Trainer, make_data_iterator
 
     cfg = get_config(args.config, **overrides)
     print(f"[train] config={cfg.name} model={cfg.model} train={cfg.train}")
     trainer = Trainer(cfg, out_dir=args.out_dir, resume=not args.no_resume)
+
+    def data_iter():  # data stream resumes exactly at the restored step
+        start = int(np.asarray(jax.device_get(trainer.state.step)))
+        return make_data_iterator(cfg, start_batch=start)
+
     if args.profile_dir:
         from mocogan_tpu.utils import profiling
 
         with profiling.trace(args.profile_dir):
-            trainer.run(make_data_iterator(cfg),
-                        total_steps=min(20, cfg.train.total_steps))
+            trainer.run(data_iter(), total_steps=min(20,
+                                                     cfg.train.total_steps))
         print(f"[train] profile written to {args.profile_dir}; "
               "continuing unprofiled")
-    trainer.run(make_data_iterator(cfg))
+    trainer.run(data_iter())
 
 
 if __name__ == "__main__":
