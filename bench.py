@@ -80,7 +80,7 @@ def cpu_baseline_steps_per_sec() -> float:
     return sps
 
 
-def tpu_train_steps_per_sec() -> float:
+def tpu_train_steps_per_sec(compute_dtype: str = "float32") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +90,8 @@ def tpu_train_steps_per_sec() -> float:
     from mocogan_tpu.train import step as train_step
 
     cfg = get_config("mug",
-                     **{"train.batch_size": BENCH_CFG["batch_size"]})
+                     **{"train.batch_size": BENCH_CFG["batch_size"],
+                        "model.compute_dtype": compute_dtype})
     s = train_state.create(cfg)
     fn = train_step.jitted_train_step(cfg)
     vids, _ = synthetic.make_batch(0, cfg.train.batch_size)
@@ -136,6 +137,12 @@ def generate_clips_per_sec() -> float:
 
 def main():
     tpu_sps = tpu_train_steps_per_sec()
+    try:
+        bf16_sps = (None if os.environ.get("BENCH_FAST")
+                    else tpu_train_steps_per_sec("bfloat16"))
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] bf16 variant failed: {e}", file=sys.stderr)
+        bf16_sps = None
     clips = generate_clips_per_sec()
     try:
         cpu_sps = cpu_baseline_steps_per_sec()
@@ -153,6 +160,8 @@ def main():
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "extra": {"generate_clips_per_sec": round(clips, 1),
+                  "train_steps_per_sec_bf16": (round(bf16_sps, 2)
+                                               if bf16_sps else None),
                   "cpu_oracle_steps_per_sec": (round(cpu_sps, 4)
                                                if cpu_sps else None),
                   "batch_size": BENCH_CFG["batch_size"]},

@@ -17,4 +17,13 @@ __version__ = "0.1.0"
 
 from mocogan_tpu.configs import ExperimentConfig, get_config, list_configs
 
-__all__ = ["ExperimentConfig", "get_config", "list_configs", "__version__"]
+
+def generate(params, bn_state, key, n, model_config, **kw):
+    """Top-level re-export of the public sampling API (reference R9)."""
+    from mocogan_tpu.models.generator import generate as _generate
+
+    return _generate(params, bn_state, key, n, model_config, **kw)
+
+
+__all__ = ["ExperimentConfig", "get_config", "list_configs", "generate",
+           "__version__"]

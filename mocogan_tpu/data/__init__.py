@@ -1,3 +1,3 @@
-from mocogan_tpu.data import synthetic, clips
+from mocogan_tpu.data import clips, native, pipeline, synthetic
 
-__all__ = ["synthetic", "clips"]
+__all__ = ["clips", "native", "pipeline", "synthetic"]

@@ -1,3 +1,3 @@
-from mocogan_tpu.eval import fvd
+from mocogan_tpu.eval import fvd, parity
 
-__all__ = ["fvd"]
+__all__ = ["fvd", "parity"]

@@ -1,3 +1,3 @@
-from mocogan_tpu.utils import prng, video, metrics
+from mocogan_tpu.utils import checkpoint, metrics, prng, profiling, video
 
-__all__ = ["prng", "video", "metrics"]
+__all__ = ["checkpoint", "metrics", "prng", "profiling", "video"]

@@ -12,14 +12,17 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+from typing import TYPE_CHECKING
+
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from mocogan_tpu.train.state import TrainState
+if TYPE_CHECKING:  # break the utils <-> train import cycle
+    from mocogan_tpu.train.state import TrainState
 
 
-def _to_saveable(state: TrainState) -> dict:
+def _to_saveable(state: "TrainState") -> dict:
     """Typed PRNG keys aren't serializable; store raw key data."""
     return {
         "step": state.step,
@@ -30,7 +33,9 @@ def _to_saveable(state: TrainState) -> dict:
     }
 
 
-def _from_saveable(tree: dict) -> TrainState:
+def _from_saveable(tree: dict) -> "TrainState":
+    from mocogan_tpu.train.state import TrainState
+
     return TrainState(
         step=tree["step"],
         root_key=jax.random.wrap_key_data(tree["root_key_data"]),
@@ -50,7 +55,7 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, state: TrainState, *, wait: bool = False) -> int:
+    def save(self, state: "TrainState", *, wait: bool = False) -> int:
         step = int(jax.device_get(state.step))
         self._mngr.save(step, args=ocp.args.StandardSave(_to_saveable(state)))
         if wait:
@@ -60,8 +65,8 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
-    def restore(self, template: TrainState,
-                step: Optional[int] = None) -> TrainState:
+    def restore(self, template: "TrainState",
+                step: Optional[int] = None) -> "TrainState":
         """Restore into the structure of `template` (freshly-created state)."""
         step = self._mngr.latest_step() if step is None else step
         if step is None:

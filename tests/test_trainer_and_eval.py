@@ -135,6 +135,27 @@ def test_frechet_distance_known_value():
     np.testing.assert_allclose(d, 12.0, atol=1e-6)  # |2|^2 * 3
 
 
+def test_parity_harness(tiny_cfg, tmp_path):
+    """eval/parity: determinism check + digest record/compare cycle."""
+    from mocogan_tpu.eval import parity
+    from mocogan_tpu.train import state as train_state
+
+    s = train_state.create(tiny_cfg)
+    rep = parity.check_determinism(tiny_cfg, s.params["gen"], s.bn["gen"],
+                                   n=2, seed=1)
+    assert rep["deterministic"]
+    assert rep["jit_matches_eager"]
+    assert len(rep["digest"]) == 64
+
+    # same params+key => same digest; different seed => different digest
+    rep2 = parity.check_determinism(tiny_cfg, s.params["gen"], s.bn["gen"],
+                                    n=2, seed=1, jit_vs_eager=False)
+    assert rep2["digest"] == rep["digest"]
+    rep3 = parity.check_determinism(tiny_cfg, s.params["gen"], s.bn["gen"],
+                                    n=2, seed=2, jit_vs_eager=False)
+    assert rep3["digest"] != rep["digest"]
+
+
 def test_tile_and_gif(tmp_path):
     vids = np.random.default_rng(0).integers(
         0, 256, size=(5, 4, 16, 16, 3), dtype=np.uint8)
