@@ -137,12 +137,14 @@ def generate_clips_per_sec() -> float:
 
 def main():
     tpu_sps = tpu_train_steps_per_sec()
-    try:
-        bf16_sps = (None if os.environ.get("BENCH_FAST")
-                    else tpu_train_steps_per_sec("bfloat16"))
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] bf16 variant failed: {e}", file=sys.stderr)
-        bf16_sps = None
+    # bf16 variant is opt-in (BENCH_BF16=1): each extra program pays the
+    # remote backend's slow first execution (~minutes on a cold cache).
+    bf16_sps = None
+    if os.environ.get("BENCH_BF16"):
+        try:
+            bf16_sps = tpu_train_steps_per_sec("bfloat16")
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] bf16 variant failed: {e}", file=sys.stderr)
     clips = generate_clips_per_sec()
     try:
         cpu_sps = cpu_baseline_steps_per_sec()
