@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--labels", type=int, nargs="*", default=None,
                     help="class labels for the categorical config")
     ap.add_argument("--mp4", action="store_true")
+    ap.add_argument("--individual", action="store_true",
+                    help="also write one GIF per clip")
     ap.add_argument("--set", nargs="*", metavar="K=V", dest="overrides")
     args = ap.parse_args(argv)
 
@@ -57,6 +59,11 @@ def main(argv=None):
                                    f"generated_step{step}_seed{args.seed}.gif")
     path = video_utils.save_video_grid(u8, out)
     print(f"[generate] wrote {path}")
+    if args.individual:
+        paths = video_utils.save_individual_gifs(
+            u8, os.path.join(args.run_dir, f"clips_step{step}"),
+            prefix=f"seed{args.seed}")
+        print(f"[generate] wrote {len(paths)} individual clips")
     if args.mp4:
         mp4 = video_utils.save_mp4(video_utils.tile_videos(u8),
                                    out.replace(".gif", ".mp4"))

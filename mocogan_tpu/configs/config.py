@@ -88,6 +88,11 @@ class TrainConfig:
     # the batch over. None => use all visible devices.
     num_devices: Optional[int] = None
 
+    # Adversarial steps executed per host dispatch (lax.scan inside one
+    # program). >1 amortizes dispatch latency — essential on remote-tunnel
+    # TPU backends where each dispatch costs a network round trip.
+    steps_per_call: int = 1
+
 
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
@@ -101,6 +106,10 @@ class DataConfig:
     # Use the Pallas fused resize+normalize kernel (B3). Falls back to the
     # jnp oracle path off-TPU automatically.
     fused_preproc: bool = True
+    # Keep the ENTIRE uint8 clip store resident in HBM and sample batches
+    # on device (zero per-step host traffic). Right choice for MUG/Weizmann
+    # -scale corpora (a few GB uint8); needs steps_per_call >= 1.
+    device_cache: bool = False
     prefetch: int = 2                    # device batches kept in flight
     shuffle_buffer: int = 512
 

@@ -79,6 +79,26 @@ class ClipDataset:
         return np.asarray(clip), idx.astype(np.int32), self.labels[i]
 
 
+def load_pool(data_dir: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load the whole clip store into one padded array for the HBM-resident
+    dataset cache: returns (pool (N, T_max, H, W, C) uint8, lengths (N,)
+    int32, labels (N,) int32). Clips shorter than T_max are zero-padded;
+    `lengths` bounds the on-device window sampling."""
+    ds = ClipDataset(data_dir, video_length=1)
+    clips_list = [np.load(f, mmap_mode="r") for f in ds.files]
+    t_max = max(c.shape[0] for c in clips_list)
+    h, w, c = clips_list[0].shape[1:]
+    pool = np.zeros((len(clips_list), t_max, h, w, c), np.uint8)
+    lengths = np.empty((len(clips_list),), np.int32)
+    for i, clip in enumerate(clips_list):
+        if clip.shape[1:] != (h, w, c):
+            raise ValueError(
+                f"{ds.files[i]}: geometry {clip.shape[1:]} != {(h, w, c)}")
+        pool[i, :clip.shape[0]] = clip
+        lengths[i] = clip.shape[0]
+    return pool, lengths, np.asarray(ds.labels, np.int32)
+
+
 def clip_batch_iterator(cfg: ExperimentConfig,
                         dataset: Optional[ClipDataset] = None,
                         seed: Optional[int] = None,

@@ -104,6 +104,71 @@ def make_sharded_train_step(cfg, mesh: Mesh):
     )
 
 
+def _pallas_ok(mesh: Mesh) -> bool:
+    """Pallas calls don't auto-partition under GSPMD yet; use the kernel
+    only on a single-device mesh (multi-chip uses the jnp twin, which XLA
+    shards natively)."""
+    return mesh.devices.size == 1 and jax.default_backend() == "tpu"
+
+
+def make_sharded_multi_train_step(cfg, mesh: Mesh):
+    """jit(multi_train_step): K steps per dispatch; stacked batches sharded
+    on the BATCH axis (axis 1), step axis unsharded."""
+    from mocogan_tpu.train.step import multi_train_step
+
+    rep = replicated(mesh)
+    bsh = NamedSharding(mesh, P(None, DATA_AXIS))
+    use_pallas = _pallas_ok(mesh)
+
+    def step_fn(state, batches, labels, frame_idx):
+        return multi_train_step(state, batches, labels, frame_idx, cfg,
+                                use_pallas=use_pallas)
+
+    has_labels = cfg.model.conditional
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh, bsh if has_labels else None, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_cached_train_step(cfg, mesh: Mesh, k: int):
+    """jit(cached_multi_train_step): K steps per dispatch sampling from a
+    device-resident dataset pool — zero per-step host traffic."""
+    from mocogan_tpu.train.step import cached_multi_train_step
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    use_pallas = _pallas_ok(mesh)
+
+    def step_fn(state, pool, lengths, labels):
+        return cached_multi_train_step(state, pool, lengths, labels, k, cfg,
+                                       batch_sharding=bsh,
+                                       use_pallas=use_pallas)
+
+    has_labels = cfg.model.conditional
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, rep, rep if has_labels else None),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def shard_stacked_batch(mesh: Mesh, *arrays: Any) -> Tuple[jax.Array, ...]:
+    """Place (K, B, ...) host stacks onto the mesh, B axis sharded."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() > 1:
+        def put(a):
+            return jax.make_array_from_process_local_data(sh, np.asarray(a))
+    else:
+        def put(a):
+            return jax.device_put(a, sh)
+    out = tuple(put(a) if a is not None else None for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def local_batch_size(cfg, mesh: Mesh) -> int:
     """Per-process slice of the global batch (multi-host input sharding)."""
     global_b = cfg.train.batch_size

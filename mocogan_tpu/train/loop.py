@@ -54,6 +54,7 @@ class Trainer:
         n_dev = min(n_dev, len(jax.devices()))
         self.mesh = pmesh.make_mesh(n_dev)
         self.step_fn = pmesh.make_sharded_train_step(cfg, self.mesh)
+        self.multi_fn = None  # built on demand when steps_per_call > 1
 
         self.logger = MetricLogger(self.out_dir)
         self.ckpt = CheckpointManager(
@@ -68,6 +69,14 @@ class Trainer:
         self._eval_key = jax.random.key(cfg.train.seed + 1_000_000)
         self._preproc_fn = None  # jitted fused ingest, built on first use
         self._fvd_extractor = None
+        self._hooks: list = []
+
+    def add_hook(self, every: int, fn) -> None:
+        """Register a periodic extension — the reference's
+        ``trainer.extend(ext, trigger=(N, 'iteration'))`` surface.
+        fn(trainer, step) is called every `every` steps (host-side; keep it
+        light or fetch with jax.device_get inside)."""
+        self._hooks.append((int(every), fn))
 
     # -- helpers ----------------------------------------------------------
 
@@ -126,62 +135,204 @@ class Trainer:
 
     # -- main loop ---------------------------------------------------------
 
+    def _put_stack(self, items):
+        """Stack K host batches -> sharded (K, B, ...) device arrays.
+        Returns (batches, labels, frame_idx); batches may be uint8 raw (the
+        fused preproc then runs inside the multi-step program) or f32."""
+        t = self.cfg.model.video_length
+        if isinstance(items[0], dict):
+            raw = np.stack([b["raw"] for b in items])
+            idx = np.stack([b["frame_idx"] for b in items])
+            labs = (np.stack([b["labels"] for b in items])
+                    if self.cfg.model.conditional else None)
+        else:
+            raw = np.stack([b[0] for b in items])
+            k, b = raw.shape[:2]
+            idx = np.broadcast_to(np.arange(t, dtype=np.int32), (k, b, t))
+            labs = (np.stack([np.asarray(bb[1]) for bb in items])
+                    if self.cfg.model.conditional else None)
+        return pmesh.shard_stacked_batch(self.mesh, raw, labs, idx)
+
     def run(self, data_iterator: Iterator[Tuple[np.ndarray, Any]],
             total_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
+        k = max(1, cfg.train.steps_per_call)
         total = total_steps or cfg.train.total_steps
         start = int(jax.device_get(self.state.step))
-        log_every = cfg.train.log_every
+        if (total - start) % k:
+            total = start + -(-(total - start) // k) * k
+            print(f"[trainer] rounding total up to {total} "
+                  f"(steps_per_call={k})")
+
+        if k > 1 and self.multi_fn is None:
+            self.multi_fn = pmesh.make_sharded_multi_train_step(cfg,
+                                                                self.mesh)
 
         acc: Optional[Dict[str, jax.Array]] = None  # on-device metric sums
-        n_acc = 0
+        n_acc = 0  # in steps
         t_window = time.time()
         last: Dict[str, float] = {}
 
         from mocogan_tpu.data.pipeline import ThreadedPrefetcher
 
         data_iterator = ThreadedPrefetcher(data_iterator,
-                                           depth=cfg.data.prefetch)
+                                           depth=cfg.data.prefetch * k)
 
         def put_next():
-            nxt = next(data_iterator)
-            return self._put(*nxt) if isinstance(nxt, tuple) \
-                else self._put(nxt)
+            if k == 1:
+                nxt = next(data_iterator)
+                return self._put(*nxt) if isinstance(nxt, tuple) \
+                    else self._put(nxt)
+            return self._put_stack([next(data_iterator) for _ in range(k)])
 
-        real, lab = put_next()
-        for step in range(start, total):
-            state, metrics = self.step_fn(self.state, real, lab)
+        def crossed(every: int, s0: int, s1: int) -> bool:
+            return bool(every) and (s1 // every) > (s0 // every)
+
+        batch = put_next()
+        step = start
+        while step < total:
+            if k == 1:
+                real, lab = batch
+                state, metrics = self.step_fn(self.state, real, lab)
+            else:
+                reals, labs, idx = batch
+                real = reals  # for the FVD hook below
+                state, metrics = self.multi_fn(self.state, reals, labs, idx)
             self.state = state
-            # prefetch next batch while the step runs asynchronously
-            if step + 1 < total:
-                real, lab = put_next()
-            acc = metrics if acc is None else jax.tree.map(
-                jnp.add, acc, metrics)
-            n_acc += 1
+            prev, step = step, step + k
+            # prefetch the next chunk while the device runs ahead
+            if step < total:
+                batch = put_next()
+            # metrics from the multi-step program are per-step means over k
+            w = jax.tree.map(lambda x: x * k, metrics) if k > 1 else metrics
+            acc = w if acc is None else jax.tree.map(jnp.add, acc, w)
+            n_acc += k
 
-            if (step + 1) % log_every == 0 or step + 1 == total:
+            if crossed(cfg.train.log_every, prev, step) or step >= total:
                 fetched = jax.device_get(acc)
                 dt = time.time() - t_window
-                last = {k: float(v) / n_acc for k, v in fetched.items()}
+                last = {kk: float(v) / n_acc for kk, v in fetched.items()}
                 sps = n_acc / dt
-                self.logger.log(step + 1, last, steps_per_sec=round(sps, 3),
-                                clips_per_sec=round(sps * cfg.train.batch_size,
-                                                    2))
-                print(f"[step {step + 1}/{total}] "
-                      + " ".join(f"{k}={v:.4f}" for k, v in last.items())
+                self.logger.log(step, last, steps_per_sec=round(sps, 3),
+                                clips_per_sec=round(
+                                    sps * cfg.train.batch_size, 2))
+                print(f"[step {step}/{total}] "
+                      + " ".join(f"{kk}={v:.4f}" for kk, v in last.items())
                       + f" | {sps:.2f} steps/s")
                 acc, n_acc, t_window = None, 0, time.time()
 
-            if (step + 1) % cfg.train.sample_every == 0:
-                self.save_samples(step + 1)
-            if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
-                score = self.eval_fvd(np.asarray(jax.device_get(real)))
-                self.logger.log(step + 1, {"fvd_proxy": score})
-                print(f"[step {step + 1}] fvd_proxy={score:.2f}")
-            if (step + 1) % cfg.train.checkpoint_every == 0:
+            if crossed(cfg.train.sample_every, prev, step):
+                self.save_samples(step)
+            if crossed(cfg.train.eval_every, prev, step):
+                if k > 1 and real.dtype == jnp.uint8:
+                    # raw stack: run the jitted ingest on one sub-batch so
+                    # the real pool matches the generated resolution
+                    pool = np.asarray(jax.device_get(
+                        self._fused_preproc()(real[0], idx[0])))
+                else:
+                    pool = np.asarray(jax.device_get(real))
+                    if pool.ndim == 6:  # (K, B, ...) f32 stack
+                        pool = pool.reshape(-1, *pool.shape[-4:])
+                score = self.eval_fvd(pool)
+                self.logger.log(step, {"fvd_proxy": score})
+                print(f"[step {step}] fvd_proxy={score:.2f}")
+            if crossed(cfg.train.checkpoint_every, prev, step):
                 self.ckpt.save(self.state)
+            for every, hook in self._hooks:
+                if crossed(every, prev, step):
+                    hook(self, step)
 
         data_iterator.close()
+        self.ckpt.save(self.state, wait=True)
+        self.save_samples(total)
+        self.logger.plot()
+        return last
+
+    def run_device_cached(self, total_steps: Optional[int] = None
+                          ) -> Dict[str, float]:
+        """Train with the whole clip store resident in HBM (DataConfig.
+        device_cache): one upload, then K steps per dispatch with zero
+        per-step host data traffic — sampling, windowing, fused preproc and
+        the adversarial update all inside one scanned program."""
+        from mocogan_tpu.data import clips
+
+        cfg = self.cfg
+        k = max(1, cfg.train.steps_per_call)
+        total = total_steps or cfg.train.total_steps
+        start = int(jax.device_get(self.state.step))
+        if (total - start) % k:
+            total = start + -(-(total - start) // k) * k
+
+        pool_np, lengths_np, labels_np = clips.load_pool(cfg.data.data_dir)
+        rep = pmesh.replicated(self.mesh)
+        pool = jax.device_put(pool_np, rep)
+        lengths = jax.device_put(lengths_np, rep)
+        labels = (jax.device_put(labels_np, rep)
+                  if cfg.model.conditional else None)
+        print(f"[trainer] device cache: {pool_np.nbytes / 1e6:.0f} MB, "
+              f"{len(lengths_np)} clips resident in HBM")
+        step_fn = pmesh.make_cached_train_step(cfg, self.mesh, k)
+
+        # real pool for the FVD hook: one preprocessed batch-worth of clips
+        eval_pool = None
+
+        acc = None
+        n_acc = 0
+        t_window = time.time()
+        last: Dict[str, float] = {}
+
+        def crossed(every: int, s0: int, s1: int) -> bool:
+            return bool(every) and (s1 // every) > (s0 // every)
+
+        step = start
+        while step < total:
+            state, metrics = step_fn(self.state, pool, lengths, labels)
+            self.state = state
+            prev, step = step, step + k
+            w = jax.tree.map(lambda x: x * k, metrics)
+            acc = w if acc is None else jax.tree.map(jnp.add, acc, w)
+            n_acc += k
+
+            if crossed(cfg.train.log_every, prev, step) or step >= total:
+                fetched = jax.device_get(acc)
+                dt = time.time() - t_window
+                last = {kk: float(v) / n_acc for kk, v in fetched.items()}
+                sps = n_acc / dt
+                self.logger.log(step, last, steps_per_sec=round(sps, 3),
+                                clips_per_sec=round(
+                                    sps * cfg.train.batch_size, 2))
+                print(f"[step {step}/{total}] "
+                      + " ".join(f"{kk}={v:.4f}" for kk, v in last.items())
+                      + f" | {sps:.2f} steps/s")
+                acc, n_acc, t_window = None, 0, time.time()
+
+            if crossed(cfg.train.sample_every, prev, step):
+                self.save_samples(step)
+            if crossed(cfg.train.eval_every, prev, step):
+                if eval_pool is None:
+                    n = min(cfg.train.eval_clips, len(lengths_np))
+                    t = cfg.model.video_length
+                    sel = np.random.default_rng(0).integers(
+                        0, len(lengths_np), size=n)
+                    raws = np.stack([
+                        pool_np[i, :t] if lengths_np[i] >= t else
+                        pool_np[i, np.arange(t) % max(lengths_np[i], 1)]
+                        for i in sel])
+                    idx = np.broadcast_to(np.arange(t, dtype=np.int32),
+                                          (n, t))
+                    eval_pool = np.asarray(jax.device_get(
+                        self._fused_preproc()(
+                            pmesh.shard_batch(self.mesh, raws),
+                            pmesh.shard_batch(self.mesh, idx))))
+                score = self.eval_fvd(eval_pool)
+                self.logger.log(step, {"fvd_proxy": score})
+                print(f"[step {step}] fvd_proxy={score:.2f}")
+            if crossed(cfg.train.checkpoint_every, prev, step):
+                self.ckpt.save(self.state)
+            for every, hook in self._hooks:
+                if crossed(every, prev, step):
+                    hook(self, step)
+
         self.ckpt.save(self.state, wait=True)
         self.save_samples(total)
         self.logger.plot()

@@ -139,3 +139,101 @@ def jitted_train_step(cfg: ExperimentConfig):
     def step_fn(state, real, labels):
         return train_step(state, real, labels, cfg)
     return step_fn
+
+
+def multi_train_step(state: TrainState, batches, labels, frame_idx,
+                     cfg: ExperimentConfig,
+                     use_pallas: Optional[bool] = None
+                     ) -> Tuple[TrainState, Dict[str, Any]]:
+    """K adversarial steps as ONE program via lax.scan (dispatch
+    amortization: each host->device dispatch costs a network round trip on
+    remote TPU backends, so the host loop caps throughput at ~1/latency
+    unless steps are batched into a single executable).
+
+    batches: (K, B, T, H, W, C) float32 videos in [-1,1], OR uint8 raw clips
+             at the stored resolution, in which case `frame_idx` (K, B, T)
+             must be given and the fused B3 preproc (temporal gather +
+             Pallas resize + normalize) runs INSIDE the scan body — one
+             program does ingest + the full adversarial update.
+    labels:  (K, B) int32 or None.
+    Returns (state after K steps, metrics averaged over the K steps).
+    """
+    from mocogan_tpu.ops import preproc  # local import: avoids a cycle
+
+    is_raw = batches.dtype == jnp.uint8
+
+    def body(s, xs):
+        real, lab, idx = xs
+        if is_raw:
+            real = preproc.subsample_and_preprocess(
+                real, idx, cfg.model.image_size, use_pallas=use_pallas)
+        s2, m = train_step(s, real, lab, cfg)
+        return s2, m
+
+    k = batches.shape[0]
+    if frame_idx is None:
+        t = batches.shape[2] if is_raw else cfg.model.video_length
+        frame_idx = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32),
+            (k, batches.shape[1], t))
+    state, ms = jax.lax.scan(body, state, (batches, labels, frame_idx))
+    metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+    return state, metrics
+
+
+def jitted_multi_train_step(cfg: ExperimentConfig):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, batches, labels, frame_idx):
+        return multi_train_step(state, batches, labels, frame_idx, cfg)
+    return step_fn
+
+
+def cached_multi_train_step(state: TrainState, pool: jax.Array,
+                            lengths: jax.Array, pool_labels, k: int,
+                            cfg: ExperimentConfig,
+                            batch_sharding=None,
+                            use_pallas: Optional[bool] = None
+                            ) -> Tuple[TrainState, Dict[str, Any]]:
+    """K steps with the ENTIRE dataset resident in HBM (device cache mode).
+
+    MUG/Weizmann-scale corpora fit comfortably on one chip as uint8
+    (~2 GB @96px), so the steady-state input path needs ZERO host traffic:
+    each scan iteration samples clip indices and temporal windows from the
+    step PRNG, gathers from the resident pool, runs the fused resize +
+    normalize, and takes the adversarial step — all in one program.
+
+    pool:        (N, T_max, H_raw, W_raw, C) uint8, replicated
+    lengths:     (N,) int32 true frame counts (pool is padded to T_max)
+    pool_labels: (N,) int32 or None
+    """
+    from mocogan_tpu.ops import preproc
+
+    b = cfg.train.batch_size
+    t = cfg.model.video_length
+    n = pool.shape[0]
+
+    def body(s, _):
+        key = prng.step_key(s.root_key, s.step)
+        dkey = prng.role_key(key, "data")
+        k1, k2 = jax.random.split(dkey)
+        sel = jax.random.randint(k1, (b,), 0, n)
+        max_start = jnp.maximum(lengths[sel] - t + 1, 1)
+        starts = jax.random.randint(k2, (b,), 0, 1 << 30) % max_start
+        clips = jnp.take(pool, sel, axis=0)          # (B, T_max, H, W, C)
+        windows = jax.vmap(
+            lambda c, st: jax.lax.dynamic_slice_in_dim(c, st, t, axis=0)
+        )(clips, starts)
+        if batch_sharding is not None:
+            # pool is replicated; pin the sampled batch to the data mesh so
+            # the step shards exactly like the host-fed path
+            windows = jax.lax.with_sharding_constraint(windows,
+                                                       batch_sharding)
+        real = preproc.resize_normalize(windows, cfg.model.image_size,
+                                        use_pallas=use_pallas)
+        lab = (jnp.take(pool_labels, sel, axis=0)
+               if cfg.model.conditional else None)
+        s2, m = train_step(s, real, lab, cfg)
+        return s2, m
+
+    state, ms = jax.lax.scan(body, state, None, length=k)
+    return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)

@@ -46,6 +46,14 @@ def save_video_grid(videos: np.ndarray, path: str, fps: int = 12,
     return save_gif(tile_videos(videos, cols), path, fps)
 
 
+def save_individual_gifs(videos: np.ndarray, out_dir: str,
+                         prefix: str = "clip", fps: int = 12) -> list:
+    """One GIF per clip: (N, T, H, W, C) uint8 -> out_dir/prefix_i.gif."""
+    os.makedirs(out_dir, exist_ok=True)
+    return [save_gif(v, os.path.join(out_dir, f"{prefix}_{i:03d}.gif"), fps)
+            for i, v in enumerate(videos)]
+
+
 def save_mp4(frames: np.ndarray, path: str, fps: int = 12) -> Optional[str]:
     """Best-effort mp4 via OpenCV; returns None if no codec works."""
     try:

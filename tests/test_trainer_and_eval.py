@@ -135,6 +135,124 @@ def test_frechet_distance_known_value():
     np.testing.assert_allclose(d, 12.0, atol=1e-6)  # |2|^2 * 3
 
 
+def test_trainer_multi_step_synthetic(tmp_path, tiny_cfg):
+    """steps_per_call > 1: K steps per dispatch via lax.scan; counters,
+    logs and checkpoints stay consistent."""
+    from mocogan_tpu.train.loop import Trainer, make_data_iterator
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        name="multistep",
+        train=dataclasses.replace(
+            tiny_cfg.train, total_steps=8, log_every=4, sample_every=8,
+            checkpoint_every=8, num_devices=2, steps_per_call=4),
+        data=dataclasses.replace(tiny_cfg.data, dataset="synthetic"),
+        out_dir=str(tmp_path),
+    )
+    tr = Trainer(cfg)
+    last = tr.run(make_data_iterator(cfg))
+    assert all(np.isfinite(v) for v in last.values())
+    assert int(np.asarray(tr.state.step)) == 8
+    recs = [json.loads(l) for l in open(
+        os.path.join(str(tmp_path), "multistep", "log.jsonl"))]
+    assert recs[-1]["step"] == 8
+    tr.ckpt.close()
+
+
+def test_trainer_multi_step_raw_clips(tmp_path, tiny_cfg):
+    """steps_per_call > 1 with the uint8 raw path: fused ingest runs inside
+    the scanned program."""
+    import numpy as np
+
+    from mocogan_tpu.train.loop import Trainer, make_data_iterator
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "clips"
+    data_dir.mkdir()
+    for i in range(6):
+        np.save(data_dir / f"c{i}.npy",
+                rng.integers(0, 256, size=(12, 48, 48, 3), dtype=np.uint8))
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        name="multiraw",
+        train=dataclasses.replace(
+            tiny_cfg.train, total_steps=4, log_every=2, sample_every=100,
+            checkpoint_every=100, num_devices=2, steps_per_call=2,
+            eval_every=4, eval_clips=4),
+        data=dataclasses.replace(tiny_cfg.data, dataset="npy_dir",
+                                 data_dir=str(data_dir), raw_size=48),
+        out_dir=str(tmp_path / "runs"),
+    )
+    tr = Trainer(cfg)
+    last = tr.run(make_data_iterator(cfg))
+    assert all(np.isfinite(v) for v in last.values())
+    assert int(np.asarray(tr.state.step)) == 4
+    tr.ckpt.close()
+
+
+def test_multi_step_equals_single_steps(tiny_cfg):
+    """K scanned steps == K sequential single steps (same PRNG stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mocogan_tpu.data import synthetic
+    from mocogan_tpu.train import state as train_state
+    from mocogan_tpu.train import step as train_step
+
+    m = tiny_cfg.model
+    b = tiny_cfg.train.batch_size
+    batches = [synthetic.make_batch(i, b, t=m.video_length,
+                                    size=m.image_size)[0] for i in range(3)]
+
+    s1 = train_state.create(tiny_cfg)
+    fn = train_step.jitted_train_step(tiny_cfg)
+    for vb in batches:
+        s1, m1 = fn(s1, jnp.asarray(vb), None)
+
+    s2 = train_state.create(tiny_cfg)
+    mfn = train_step.jitted_multi_train_step(tiny_cfg)
+    stack = jnp.asarray(np.stack(batches))
+    idx = jnp.broadcast_to(jnp.arange(m.video_length, dtype=jnp.int32),
+                           (3, b, m.video_length))
+    s2, m2 = mfn(s2, stack, None, idx)
+
+    assert int(np.asarray(s1.step)) == int(np.asarray(s2.step)) == 3
+    # scan-body fusion changes f32 reduction order slightly; a semantics
+    # bug (wrong PRNG stream / batch order) would diverge at O(lr)=2e-4
+    for a, bb in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                     jax.tree.leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(a, bb, rtol=2e-4, atol=5e-6)
+
+
+def test_trainer_hooks(tmp_path, tiny_cfg):
+    """add_hook: the reference's trainer.extend(...) capability."""
+    from mocogan_tpu.train.loop import Trainer, make_data_iterator
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        name="hooksmoke",
+        train=dataclasses.replace(
+            tiny_cfg.train, total_steps=4, log_every=10, sample_every=100,
+            checkpoint_every=100, num_devices=1),
+        data=dataclasses.replace(tiny_cfg.data, dataset="synthetic"),
+        out_dir=str(tmp_path),
+    )
+    tr = Trainer(cfg)
+    calls = []
+    tr.add_hook(2, lambda trainer, step: calls.append(step))
+    tr.run(make_data_iterator(cfg))
+    assert calls == [2, 4]
+    tr.ckpt.close()
+
+
+def test_save_individual_gifs(tmp_path):
+    vids = np.random.default_rng(0).integers(
+        0, 256, size=(3, 4, 8, 8, 3), dtype=np.uint8)
+    paths = video_utils.save_individual_gifs(vids, str(tmp_path))
+    assert len(paths) == 3
+    assert all(os.path.getsize(p) > 0 for p in paths)
+
+
 def test_parity_harness(tiny_cfg, tmp_path):
     """eval/parity: determinism check + digest record/compare cycle."""
     from mocogan_tpu.eval import parity

@@ -74,15 +74,19 @@ def main(argv=None):
         start = int(np.asarray(jax.device_get(trainer.state.step)))
         return make_data_iterator(cfg, start_batch=start)
 
+    def run(total_steps=None):
+        if cfg.data.device_cache:
+            return trainer.run_device_cached(total_steps)
+        return trainer.run(data_iter(), total_steps)
+
     if args.profile_dir:
         from mocogan_tpu.utils import profiling
 
         with profiling.trace(args.profile_dir):
-            trainer.run(data_iter(), total_steps=min(20,
-                                                     cfg.train.total_steps))
+            run(total_steps=min(20, cfg.train.total_steps))
         print(f"[train] profile written to {args.profile_dir}; "
               "continuing unprofiled")
-    trainer.run(data_iter())
+    run()
 
 
 if __name__ == "__main__":
