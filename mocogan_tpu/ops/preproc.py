@@ -129,6 +129,29 @@ def resize_normalize(video_u8: jax.Array, out_size: int,
     return jnp.transpose(out, (0, 1, 3, 4, 2))
 
 
+def resize_normalize_sharded(video_u8: jax.Array, out_size: int,
+                             mesh, axis_name: str = "data",
+                             use_pallas: Optional[bool] = None) -> jax.Array:
+    """Batch-sharded fused preproc: runs the per-shard kernel under
+    shard_map so the Pallas path works on multi-device meshes (GSPMD cannot
+    auto-partition a pallas_call; manual sharding can — each device
+    processes its own batch shard locally, no collectives needed)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older layout
+        from jax.experimental.shard_map import shard_map
+
+    def local_fn(v):
+        return resize_normalize(v, out_size, use_pallas=use_pallas)
+
+    spec = P(axis_name, *([None] * (video_u8.ndim - 1)))
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes info
+    return shard_map(local_fn, mesh=mesh, in_specs=(spec,),
+                     out_specs=spec, check_vma=False)(video_u8)
+
+
 def resize_normalize_reference(video_u8: np.ndarray,
                                out_size: int) -> np.ndarray:
     """Pure-numpy oracle with identical math (golden test target)."""

@@ -53,6 +53,20 @@ def test_subsample_and_preprocess():
     np.testing.assert_allclose(out, oracle, atol=1e-5)
 
 
+def test_sharded_preproc_matches_oracle():
+    """shard_map-wrapped fused preproc over an 8-device mesh == oracle."""
+    from mocogan_tpu.parallel import mesh as pmesh
+
+    raw = _raw((8, 2, 48, 64, 3), seed=4)
+    oracle = preproc.resize_normalize_reference(raw, 32)
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_batch(mesh, raw)
+    got = jax.jit(lambda v: preproc.resize_normalize_sharded(
+        v, 32, mesh, use_pallas=False))(sharded)
+    np.testing.assert_allclose(np.asarray(jax.device_get(got)), oracle,
+                               atol=1e-5)
+
+
 def test_pallas_kernel_interpret_mode_matches_oracle():
     """Run the actual Pallas kernel in interpreter mode on CPU."""
     from jax.experimental import pallas as pl  # noqa: F401
