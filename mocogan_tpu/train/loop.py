@@ -264,6 +264,11 @@ class Trainer:
             total = start + -(-(total - start) // k) * k
 
         pool_np, lengths_np, labels_np = clips.load_pool(cfg.data.data_dir)
+        if pool_np.shape[1] < cfg.model.video_length:
+            raise ValueError(
+                f"device cache: longest stored clip has {pool_np.shape[1]} "
+                f"frames < video_length={cfg.model.video_length}; "
+                "re-preprocess with more frames or lower video_length")
         rep = pmesh.replicated(self.mesh)
         pool = jax.device_put(pool_np, rep)
         lengths = jax.device_put(lengths_np, rep)
