@@ -34,6 +34,10 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from mocogan_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
     from mocogan_tpu import get_config
     from mocogan_tpu.models import generator
     from mocogan_tpu.train import state as train_state

@@ -142,8 +142,8 @@ def _mug() -> ExperimentConfig:
     return ExperimentConfig(
         name="mug",
         model=ModelConfig(image_size=64, channels=3, video_length=16),
-        train=TrainConfig(batch_size=16),
-        data=DataConfig(dataset="mug", raw_size=96),
+        train=TrainConfig(batch_size=16, steps_per_call=16),
+        data=DataConfig(dataset="mug", raw_size=96, device_cache=True),
     )
 
 
@@ -152,8 +152,8 @@ def _weizmann() -> ExperimentConfig:
     return ExperimentConfig(
         name="weizmann",
         model=ModelConfig(image_size=64, channels=3, video_length=16),
-        train=TrainConfig(batch_size=16),
-        data=DataConfig(dataset="weizmann", raw_size=96),
+        train=TrainConfig(batch_size=16, steps_per_call=16),
+        data=DataConfig(dataset="weizmann", raw_size=96, device_cache=True),
     )
 
 
@@ -165,8 +165,8 @@ def _categorical() -> ExperimentConfig:
             image_size=64, channels=3, video_length=16,
             n_classes=6,  # MUG has 6 expression classes
         ),
-        train=TrainConfig(batch_size=16),
-        data=DataConfig(dataset="mug", raw_size=96),
+        train=TrainConfig(batch_size=16, steps_per_call=16),
+        data=DataConfig(dataset="mug", raw_size=96, device_cache=True),
     )
 
 
@@ -178,8 +178,9 @@ def _scaled() -> ExperimentConfig:
             image_size=96, channels=3, video_length=32,
             compute_dtype="bfloat16", remat=True,
         ),
-        train=TrainConfig(batch_size=64, num_devices=8),
-        data=DataConfig(dataset="weizmann", raw_size=128, fused_preproc=True),
+        train=TrainConfig(batch_size=64, num_devices=8, steps_per_call=32),
+        data=DataConfig(dataset="weizmann", raw_size=128, fused_preproc=True,
+                        device_cache=True),
     )
 
 

@@ -69,6 +69,27 @@ def test_parse_overrides():
     assert out["train.num_devices"] is None
 
 
+def test_train_cli_subprocess(tmp_path):
+    """Drive the actual train.py CLI end to end (toy config, 2 steps)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "train.py", "--config", "toy",
+         "--total-steps", "2", "--batch-size", "2", "--out-dir",
+         str(tmp_path), "--set", "model.gen_features=8",
+         "model.disc_features=8", "model.image_size=32",
+         "model.video_length=4", "train.log_every=2",
+         "train.sample_every=1000", "train.checkpoint_every=1000",
+         "train.num_devices=1"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[step 2/2]" in out.stdout
+
+
 def test_get_config_nested_overrides():
     from mocogan_tpu import get_config
 

@@ -58,6 +58,9 @@ def main(argv=None):
 
     import jax
 
+    from mocogan_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
