@@ -113,6 +113,9 @@ def clip_batch_iterator(cfg: ExperimentConfig,
     directory are expected to share (H, W, C) after offline preprocessing.
     """
     ds = dataset or ClipDataset(cfg.data.data_dir, cfg.model.video_length)
+    if cfg.model.conditional and ds.n_classes > cfg.model.n_classes:
+        raise ValueError(f"dataset has {ds.n_classes} classes but "
+                         f"model.n_classes={cfg.model.n_classes}")
     base_seed = cfg.train.seed if seed is None else seed
     b = cfg.train.batch_size
     t = cfg.model.video_length

@@ -264,6 +264,10 @@ class Trainer:
             total = start + -(-(total - start) // k) * k
 
         pool_np, lengths_np, labels_np = clips.load_pool(cfg.data.data_dir)
+        if cfg.model.conditional and labels_np.max() >= cfg.model.n_classes:
+            raise ValueError(
+                f"dataset has {labels_np.max() + 1}+ classes but "
+                f"model.n_classes={cfg.model.n_classes}")
         if pool_np.shape[1] < cfg.model.video_length:
             raise ValueError(
                 f"device cache: longest stored clip has {pool_np.shape[1]} "
