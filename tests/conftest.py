@@ -35,6 +35,9 @@ def tiny_cfg():
             "model.gen_features": 8,
             "model.disc_features": 8,
             "train.batch_size": 8,
+            # hermetic: tests opt in to multi-step / device-cache explicitly
+            "train.steps_per_call": 1,
+            "data.device_cache": False,
         },
     )
 
@@ -50,6 +53,8 @@ def tiny_cat_cfg():
             "model.disc_features": 8,
             "model.n_classes": 4,
             "train.batch_size": 8,
+            "train.steps_per_call": 1,
+            "data.device_cache": False,
         },
     )
 
