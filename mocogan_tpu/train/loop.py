@@ -159,6 +159,10 @@ class Trainer:
         k = max(1, cfg.train.steps_per_call)
         total = total_steps or cfg.train.total_steps
         start = int(jax.device_get(self.state.step))
+        if start >= total:
+            print(f"[trainer] nothing to do: resumed step {start} >= "
+                  f"total {total}")
+            return {}
         if (total - start) % k:
             total = start + -(-(total - start) // k) * k
             print(f"[trainer] rounding total up to {total} "
@@ -260,6 +264,10 @@ class Trainer:
         k = max(1, cfg.train.steps_per_call)
         total = total_steps or cfg.train.total_steps
         start = int(jax.device_get(self.state.step))
+        if start >= total:
+            print(f"[trainer] nothing to do: resumed step {start} >= "
+                  f"total {total}")
+            return {}
         if (total - start) % k:
             total = start + -(-(total - start) // k) * k
 
