@@ -153,10 +153,17 @@ def batchnorm_init(c: int) -> Tuple[Params, State]:
 def batchnorm(p: Params, s: State, x: jax.Array, *, train: bool,
               momentum: float = 0.9, eps: float = 2e-5,
               axis_name: str | None = None) -> Tuple[jax.Array, State]:
-    """Normalize over all axes but the last (channel). Stats in fp32."""
-    xf = x.astype(jnp.float32)
-    red = tuple(range(xf.ndim - 1))
+    """Normalize over all axes but the last (channel).
+
+    Statistics are always fp32 (cast fused into the reductions). The
+    normalization itself is expressed as a per-channel affine
+    ``y = x * c1 + c2`` applied in the INPUT dtype, so under bfloat16
+    compute the autodiff residual is the bf16 ``x`` rather than an fp32
+    upcast copy — the big tensors never round-trip HBM at 4 bytes.
+    """
+    red = tuple(range(x.ndim - 1))
     if train:
+        xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=red)
         var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
         if axis_name is not None:
@@ -169,9 +176,13 @@ def batchnorm(p: Params, s: State, x: jax.Array, *, train: bool,
     else:
         mean, var = s["mean"], s["var"]
         new_s = s
-    inv = jax.lax.rsqrt(var + eps) * p["scale"]
-    y = (xf - mean) * inv + p["bias"]
-    return y.astype(x.dtype), new_s
+    inv = jax.lax.rsqrt(var + eps) * p["scale"]          # (C,) fp32
+    shift = p["bias"] - mean * inv                        # (C,) fp32
+    if x.dtype == jnp.float32:
+        y = x * inv + shift
+    else:
+        y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+    return y, new_s
 
 
 # ---------------------------------------------------------------------------
