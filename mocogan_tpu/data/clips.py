@@ -139,29 +139,37 @@ def clip_batch_iterator(cfg: ExperimentConfig,
 
     labels_arr = np.asarray(ds.labels, np.int32)
     clip_lens = (np.asarray([store.clip_frames(i) for i in range(len(ds))])
-                 if store is not None else None)
+                 if store is not None else
+                 np.asarray([np.load(f, mmap_mode="r").shape[0]
+                             for f in ds.files]))
 
     # Batch k is a pure function of (base_seed, k): exact data-stream resume
     # (SURVEY.md §5 'iterator state for exact resume') costs nothing — the
     # trainer restarts at k = restored step. Clips are drawn i.i.d. per
     # batch rather than by epoch shuffle; for adversarial training the two
     # are statistically equivalent and this one is stateless.
+    # (sel, starts) are drawn in the SAME order from the batch RNG in both
+    # assembly paths, so the stream is byte-identical whether or not the
+    # native store compiled — the resume contract can't silently fork on a
+    # missing g++.
     k = int(start_batch)
     while True:
         rng = np.random.default_rng((base_seed, 0xDA7A, k))
         k += 1
         sel = rng.integers(0, len(ds), size=b)
+        lens = clip_lens[sel]
+        starts = (rng.integers(0, 1 << 30, size=b)
+                  % np.maximum(lens - t + 1, 1))
         if store is not None:
-            lens = clip_lens[sel]
-            starts = (rng.integers(0, 1 << 30, size=b)
-                      % np.maximum(lens - t + 1, 1))
             raw = store.fill_batch(sel.astype(np.int32),
                                    starts.astype(np.int64), t)
         else:
             raws = []
-            for i in sel:
-                clip, idx, _ = ds.get_example(int(i), rng)
-                raws.append(clip[idx])
+            for i, st, n in zip(sel, starts, lens):
+                clip = np.load(ds.files[int(i)], mmap_mode="r")
+                # frames (st + j) % n — the native store's wrap semantics
+                raws.append(np.asarray(
+                    clip[(int(st) + np.arange(t)) % int(n)]))
             raw = np.stack(raws)
         yield {"raw": raw, "frame_idx": trivial_idx,
                "labels": labels_arr[sel]}

@@ -85,21 +85,25 @@ def test_iterator_uses_native_and_matches_python(tmp_path, lib_ok, tiny_cfg):
     from mocogan_tpu.data import clips
 
     rng = np.random.default_rng(1)
-    for i in range(5):
+    # varying lengths, incl. one shorter than video_length (wrap path)
+    for i, t_raw in enumerate([16, 17, 20, 5, 9]):
         np.save(tmp_path / f"c{i}.npy",
-                rng.integers(0, 256, size=(16, 32, 32, 3), dtype=np.uint8))
+                rng.integers(0, 256, size=(t_raw, 32, 32, 3),
+                             dtype=np.uint8))
     cfg = dataclasses.replace(
         tiny_cfg, data=dataclasses.replace(tiny_cfg.data,
                                            data_dir=str(tmp_path)))
     it_native = clips.clip_batch_iterator(cfg, use_native=True)
     it_python = clips.clip_batch_iterator(cfg, use_native=False)
-    bn = next(it_native)
-    bp = next(it_python)
-    assert bn["raw"].shape == bp["raw"].shape
-    assert bn["raw"].dtype == np.uint8
-    # both draw from the same clip set (contents differ by RNG stream
-    # design; shapes/labels structure must agree)
-    assert bn["labels"].shape == bp["labels"].shape
+    # Resume contract: batch k is a pure function of (seed, k) and must be
+    # BYTE-IDENTICAL whether or not the native store compiled.
+    for _ in range(3):
+        bn = next(it_native)
+        bp = next(it_python)
+        assert bn["raw"].dtype == np.uint8
+        np.testing.assert_array_equal(bn["raw"], bp["raw"])
+        np.testing.assert_array_equal(bn["labels"], bp["labels"])
+        np.testing.assert_array_equal(bn["frame_idx"], bp["frame_idx"])
 
 
 def test_native_faster_than_python(tmp_path, lib_ok):
@@ -116,18 +120,24 @@ def test_native_faster_than_python(tmp_path, lib_ok):
     starts = rng.integers(0, 16, size=16).astype(np.int64)
     store.fill_batch(clip_idx, starts, 16)  # warm page cache
 
-    t0 = time.perf_counter()
-    for _ in range(20):
-        store.fill_batch(clip_idx, starts, 16)
-    t_native = time.perf_counter() - t0
+    def best_of(fn, reps=5, iters=20):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    t0 = time.perf_counter()
-    for _ in range(20):
+    def py_batch():
         batch = []
         for ci, st in zip(clip_idx, starts):
             ref = np.load(paths[ci], mmap_mode="r")
             batch.append(np.asarray(ref[st:st + 16]))
         np.stack(batch)
-    t_python = time.perf_counter() - t0
+
+    # best-of timing: single-shot runs are contention-flaky on this host
+    t_native = best_of(lambda: store.fill_batch(clip_idx, starts, 16))
+    t_python = best_of(py_batch)
     assert t_native < t_python, (t_native, t_python)
     store.close()
