@@ -73,30 +73,36 @@ def _resize_norm_kernel(x_ref, rh_ref, rw_ref, o_ref, *, scale: float,
 
 
 def _resize_normalize_planes_pallas(planes: jax.Array, rh: jax.Array,
-                                    rw: jax.Array, out_size: int) -> jax.Array:
-    """planes: (N, H, W) uint8 -> (N, S, S) float32 in [-1, 1]."""
+                                    rw: jax.Array, out_size: int,
+                                    interpret: bool = False) -> jax.Array:
+    """planes: (N, H, W) uint8 -> (N, S, S) float32 in [-1, 1].
+
+    interpret=True runs the SAME kernel through the Pallas interpreter
+    (CPU-runnable), used by the §4 golden tests and dryrun_multichip so the
+    production kernel body is exercised without TPU hardware.
+    """
     n, h, w = planes.shape
     kernel = functools.partial(_resize_norm_kernel, scale=2.0 / 255.0,
                                offset=-1.0)
     flops = 2 * n * out_size * (h * w + w * out_size)
+    # TPU memory spaces are meaningless to the interpreter backend
+    vmem = {} if interpret else {"memory_space": pltpu.VMEM}
     return pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_size, h), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, out_size), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), **vmem),
+            pl.BlockSpec((out_size, h), lambda i: (0, 0), **vmem),
+            pl.BlockSpec((w, out_size), lambda i: (0, 0), **vmem),
         ],
         out_specs=pl.BlockSpec((1, out_size, out_size), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+                               **vmem),
         out_shape=jax.ShapeDtypeStruct((n, out_size, out_size), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=n * (h * w + 4 * out_size * out_size),
             transcendentals=0),
+        interpret=interpret,
     )(planes, rh, rw)
 
 
@@ -113,8 +119,13 @@ def _on_tpu() -> bool:
 
 
 def resize_normalize(video_u8: jax.Array, out_size: int,
-                     use_pallas: Optional[bool] = None) -> jax.Array:
-    """(B, T, H, W, C) uint8 -> (B, T, S, S, C) float32 in [-1, 1]."""
+                     use_pallas=None) -> jax.Array:
+    """(B, T, H, W, C) uint8 -> (B, T, S, S, C) float32 in [-1, 1].
+
+    use_pallas: None (auto: kernel on TPU, jnp twin elsewhere), True, False,
+    or "interpret" (run the kernel through the Pallas interpreter — CPU
+    tests / dryrun).
+    """
     b, t, h, w, c = video_u8.shape
     rh = jnp.asarray(bilinear_matrix(h, out_size))
     rw = jnp.asarray(bilinear_matrix(w, out_size)).T
@@ -122,7 +133,8 @@ def resize_normalize(video_u8: jax.Array, out_size: int,
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
-        out = _resize_normalize_planes_pallas(planes, rh, rw, out_size)
+        out = _resize_normalize_planes_pallas(
+            planes, rh, rw, out_size, interpret=use_pallas == "interpret")
     else:
         out = _resize_normalize_planes_jnp(planes, rh, rw)
     out = out.reshape(b, t, c, out_size, out_size)
@@ -131,7 +143,7 @@ def resize_normalize(video_u8: jax.Array, out_size: int,
 
 def resize_normalize_sharded(video_u8: jax.Array, out_size: int,
                              mesh, axis_name: str = "data",
-                             use_pallas: Optional[bool] = None) -> jax.Array:
+                             use_pallas=None) -> jax.Array:
     """Batch-sharded fused preproc: runs the per-shard kernel under
     shard_map so the Pallas path works on multi-device meshes (GSPMD cannot
     auto-partition a pallas_call; manual sharding can — each device
@@ -164,9 +176,19 @@ def resize_normalize_reference(video_u8: np.ndarray,
     return z * (2.0 / 255.0) - 1.0
 
 
+def resize_normalize_auto(video_u8: jax.Array, out_size: int,
+                          mesh=None, use_pallas=None) -> jax.Array:
+    """Route to the shard_map-wrapped kernel on multi-device meshes (GSPMD
+    cannot auto-partition a pallas_call) and to the plain call otherwise."""
+    if mesh is not None and mesh.devices.size > 1 and use_pallas:
+        return resize_normalize_sharded(video_u8, out_size, mesh,
+                                        use_pallas=use_pallas)
+    return resize_normalize(video_u8, out_size, use_pallas=use_pallas)
+
+
 def subsample_and_preprocess(raw_u8: jax.Array, frame_idx: jax.Array,
                              out_size: int,
-                             use_pallas: Optional[bool] = None) -> jax.Array:
+                             use_pallas=None, mesh=None) -> jax.Array:
     """The full fused B3 ingest step, jittable end to end.
 
     raw_u8:   (B, T_raw, H, W, C) uint8 stored clips
@@ -175,4 +197,5 @@ def subsample_and_preprocess(raw_u8: jax.Array, frame_idx: jax.Array,
     """
     sel = jnp.take_along_axis(
         raw_u8, frame_idx[:, :, None, None, None].astype(jnp.int32), axis=1)
-    return resize_normalize(sel, out_size, use_pallas=use_pallas)
+    return resize_normalize_auto(sel, out_size, mesh=mesh,
+                                 use_pallas=use_pallas)

@@ -104,25 +104,27 @@ def make_sharded_train_step(cfg, mesh: Mesh):
     )
 
 
-def _pallas_ok(mesh: Mesh) -> bool:
-    """Pallas calls don't auto-partition under GSPMD yet; use the kernel
-    only on a single-device mesh (multi-chip uses the jnp twin, which XLA
-    shards natively)."""
-    return mesh.devices.size == 1 and jax.default_backend() == "tpu"
+def _pallas_default() -> bool:
+    """The fused Pallas ingest runs on any TPU mesh: single-device directly,
+    multi-device via shard_map (resize_normalize_sharded — GSPMD can't
+    auto-partition a pallas_call, manual per-shard mapping can). Off-TPU the
+    jnp twin is the production path; tests/dryrun force "interpret"."""
+    return jax.default_backend() == "tpu"
 
 
-def make_sharded_multi_train_step(cfg, mesh: Mesh):
+def make_sharded_multi_train_step(cfg, mesh: Mesh, use_pallas=None):
     """jit(multi_train_step): K steps per dispatch; stacked batches sharded
     on the BATCH axis (axis 1), step axis unsharded."""
     from mocogan_tpu.train.step import multi_train_step
 
     rep = replicated(mesh)
     bsh = NamedSharding(mesh, P(None, DATA_AXIS))
-    use_pallas = _pallas_ok(mesh)
+    if use_pallas is None:
+        use_pallas = _pallas_default()
 
     def step_fn(state, batches, labels, frame_idx):
         return multi_train_step(state, batches, labels, frame_idx, cfg,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, mesh=mesh)
 
     has_labels = cfg.model.conditional
     return jax.jit(
@@ -133,19 +135,20 @@ def make_sharded_multi_train_step(cfg, mesh: Mesh):
     )
 
 
-def make_cached_train_step(cfg, mesh: Mesh, k: int):
+def make_cached_train_step(cfg, mesh: Mesh, k: int, use_pallas=None):
     """jit(cached_multi_train_step): K steps per dispatch sampling from a
     device-resident dataset pool — zero per-step host traffic."""
     from mocogan_tpu.train.step import cached_multi_train_step
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    use_pallas = _pallas_ok(mesh)
+    if use_pallas is None:
+        use_pallas = _pallas_default()
 
     def step_fn(state, pool, lengths, labels):
         return cached_multi_train_step(state, pool, lengths, labels, k, cfg,
                                        batch_sharding=bsh,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas, mesh=mesh)
 
     has_labels = cfg.model.conditional
     return jax.jit(

@@ -91,7 +91,7 @@ class Trainer:
             bsh = pmesh.batch_sharding(self.mesh)
             self._preproc_fn = jax.jit(
                 lambda raw, idx: preproc.subsample_and_preprocess(
-                    raw, idx, size, use_pallas=use_pallas),
+                    raw, idx, size, use_pallas=use_pallas, mesh=self.mesh),
                 in_shardings=(bsh, bsh), out_shardings=bsh)
         return self._preproc_fn
 

@@ -143,7 +143,7 @@ def jitted_train_step(cfg: ExperimentConfig):
 
 def multi_train_step(state: TrainState, batches, labels, frame_idx,
                      cfg: ExperimentConfig,
-                     use_pallas: Optional[bool] = None
+                     use_pallas=None, mesh=None
                      ) -> Tuple[TrainState, Dict[str, Any]]:
     """K adversarial steps as ONE program via lax.scan (dispatch
     amortization: each host->device dispatch costs a network round trip on
@@ -166,7 +166,8 @@ def multi_train_step(state: TrainState, batches, labels, frame_idx,
         real, lab, idx = xs
         if is_raw:
             real = preproc.subsample_and_preprocess(
-                real, idx, cfg.model.image_size, use_pallas=use_pallas)
+                real, idx, cfg.model.image_size, use_pallas=use_pallas,
+                mesh=mesh)
         s2, m = train_step(s, real, lab, cfg)
         return s2, m
 
@@ -192,7 +193,7 @@ def cached_multi_train_step(state: TrainState, pool: jax.Array,
                             lengths: jax.Array, pool_labels, k: int,
                             cfg: ExperimentConfig,
                             batch_sharding=None,
-                            use_pallas: Optional[bool] = None
+                            use_pallas=None, mesh=None
                             ) -> Tuple[TrainState, Dict[str, Any]]:
     """K steps with the ENTIRE dataset resident in HBM (device cache mode).
 
@@ -228,8 +229,9 @@ def cached_multi_train_step(state: TrainState, pool: jax.Array,
             # the step shards exactly like the host-fed path
             windows = jax.lax.with_sharding_constraint(windows,
                                                        batch_sharding)
-        real = preproc.resize_normalize(windows, cfg.model.image_size,
-                                        use_pallas=use_pallas)
+        real = preproc.resize_normalize_auto(windows, cfg.model.image_size,
+                                             mesh=mesh,
+                                             use_pallas=use_pallas)
         lab = (jnp.take(pool_labels, sel, axis=0)
                if cfg.model.conditional else None)
         s2, m = train_step(s, real, lab, cfg)

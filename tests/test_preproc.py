@@ -67,6 +67,37 @@ def test_sharded_preproc_matches_oracle():
                                atol=1e-5)
 
 
+def test_sharded_pallas_kernel_matches_oracle():
+    """The ACTUAL Pallas kernel (interpret mode) under shard_map on the
+    8-device mesh == oracle — the production multi-chip ingest path
+    (resize_normalize_sharded with use_pallas), not the jnp twin."""
+    from mocogan_tpu.parallel import mesh as pmesh
+
+    raw = _raw((8, 2, 48, 64, 3), seed=5)
+    oracle = preproc.resize_normalize_reference(raw, 32)
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_batch(mesh, raw)
+    got = jax.jit(lambda v: preproc.resize_normalize_sharded(
+        v, 32, mesh, use_pallas="interpret"))(sharded)
+    np.testing.assert_allclose(np.asarray(jax.device_get(got)), oracle,
+                               atol=1e-5)
+
+
+def test_resize_normalize_auto_routes_to_shard_map():
+    """resize_normalize_auto on a multi-device mesh must produce oracle
+    results through the sharded kernel path."""
+    from mocogan_tpu.parallel import mesh as pmesh
+
+    raw = _raw((8, 2, 40, 40, 3), seed=6)
+    oracle = preproc.resize_normalize_reference(raw, 32)
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_batch(mesh, raw)
+    got = jax.jit(lambda v: preproc.resize_normalize_auto(
+        v, 32, mesh=mesh, use_pallas="interpret"))(sharded)
+    np.testing.assert_allclose(np.asarray(jax.device_get(got)), oracle,
+                               atol=1e-5)
+
+
 def test_pallas_kernel_interpret_mode_matches_oracle():
     """Run the actual Pallas kernel in interpreter mode on CPU."""
     from jax.experimental import pallas as pl  # noqa: F401
