@@ -112,6 +112,12 @@ class DataConfig:
     device_cache: bool = False
     prefetch: int = 2                    # device batches kept in flight
     shuffle_buffer: int = 512
+    # Reference-faithful epoch semantics (SerialIterator shuffle=True): each
+    # clip appears exactly once per epoch, order re-drawn per epoch from a
+    # PRNG keyed by (seed, epoch). Default off = i.i.d. per-batch draws
+    # (statistically equivalent, stateless). Both modes keep batch k a pure
+    # function of (seed, k) — exact resume is preserved.
+    epoch_shuffle: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -152,11 +152,25 @@ def clip_batch_iterator(cfg: ExperimentConfig,
     # assembly paths, so the stream is byte-identical whether or not the
     # native store compiled — the resume contract can't silently fork on a
     # missing g++.
+    n_clips = len(ds)
     k = int(start_batch)
     while True:
         rng = np.random.default_rng((base_seed, 0xDA7A, k))
+        if cfg.data.epoch_shuffle:
+            # Reference SerialIterator(shuffle=True) semantics: batch k
+            # reads positions [k*B, k*B+B) of the concatenation of
+            # per-epoch permutations keyed by (seed, epoch) — every clip
+            # exactly once per epoch, still a pure function of (seed, k).
+            g = np.arange(k * b, k * b + b)
+            epochs, pos = g // n_clips, g % n_clips
+            sel = np.empty(b, np.int64)
+            for e in np.unique(epochs):
+                perm = np.random.default_rng(
+                    (base_seed, 0xE90C, int(e))).permutation(n_clips)
+                sel[epochs == e] = perm[pos[epochs == e]]
+        else:
+            sel = rng.integers(0, n_clips, size=b)
         k += 1
-        sel = rng.integers(0, len(ds), size=b)
         lens = clip_lens[sel]
         starts = (rng.integers(0, 1 << 30, size=b)
                   % np.maximum(lens - t + 1, 1))

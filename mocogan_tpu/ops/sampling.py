@@ -31,3 +31,28 @@ def sample_frames(key: jax.Array, video: jax.Array) -> jax.Array:
 def frame_indices(key: jax.Array, batch: int, t: int) -> jax.Array:
     """Expose the raw S_1 indices (for tests / parity checks)."""
     return jax.random.randint(key, (batch,), 0, t)
+
+
+def epoch_shuffle_select(key: jax.Array, step, batch: int,
+                         n: int) -> jax.Array:
+    """Clip indices for one batch under epoch-shuffle semantics (the
+    reference's SerialIterator(shuffle=True): every clip exactly once per
+    epoch, per-epoch order from a PRNG).
+
+    Stateless: batch `step` reads positions [step*B, step*B + B) of the
+    infinite concatenation of per-epoch permutations, where epoch e's
+    permutation is keyed by fold_in(key, e). Pure function of (key, step) —
+    exact resume and the sharded==single-device equality both hold. A batch
+    may straddle an epoch boundary (as the reference's iterator does).
+
+    `step` may be a traced scalar (used inside the device-cache scan body).
+    """
+    g = step * batch + jnp.arange(batch)
+    epoch = g // n
+    pos = g % n
+
+    def pick(e, p):
+        perm = jax.random.permutation(jax.random.fold_in(key, e), n)
+        return perm[p]
+
+    return jax.vmap(pick)(epoch, pos).astype(jnp.int32)

@@ -217,7 +217,11 @@ def cached_multi_train_step(state: TrainState, pool: jax.Array,
         key = prng.step_key(s.root_key, s.step)
         dkey = prng.role_key(key, "data")
         k1, k2 = jax.random.split(dkey)
-        sel = jax.random.randint(k1, (b,), 0, n)
+        if cfg.data.epoch_shuffle:
+            sel = sampling.epoch_shuffle_select(
+                prng.role_key(s.root_key, "epoch"), s.step, b, n)
+        else:
+            sel = jax.random.randint(k1, (b,), 0, n)
         max_start = jnp.maximum(lengths[sel] - t + 1, 1)
         starts = jax.random.randint(k2, (b,), 0, 1 << 30) % max_start
         clips = jnp.take(pool, sel, axis=0)          # (B, T_max, H, W, C)

@@ -28,6 +28,7 @@ _ROLES = (
     "label",          # categorical class draw (config 4)
     "data",           # synthetic dataset generation
     "init",           # parameter initialization
+    "epoch",          # per-epoch clip permutation (epoch_shuffle mode)
 )
 _ROLE_ID = {name: i for i, name in enumerate(_ROLES)}
 
