@@ -75,6 +75,15 @@ class TrainConfig:
     # Auxiliary categorical loss weight (InfoGAN-style, config 4).
     aux_loss_weight: float = 1.0
 
+    # D/G balance levers — all default to the reference's plain alternating
+    # scheme; turn on to stop late-training discriminator collapse (D loss
+    # -> 0, softplus-saturated G) seen on long flagship runs.
+    label_smoothing: float = 0.0    # one-sided real-label smoothing, both Ds
+    d_update_every: int = 1         # apply D_I/D_V Adam updates every k steps
+    g_update_every: int = 1         # apply G Adam updates every k steps
+    d_learning_rate: Optional[float] = None   # TTUR-style per-side override
+    g_learning_rate: Optional[float] = None
+
     # Checkpoint / logging cadence (reference: snapshot + LogReport extensions).
     checkpoint_every: int = 2_000
     log_every: int = 100

@@ -22,11 +22,19 @@ from mocogan_tpu.models import discriminators, generator
 from mocogan_tpu.utils import prng
 
 
-def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: ExperimentConfig,
+                   net: str = "gen") -> optax.GradientTransformation:
     """Adam(alpha=2e-4, beta1=0.5, beta2=0.999) — the reference's settings
-    for all three networks (MoCoGAN paper Sec. 4)."""
+    for all three networks (MoCoGAN paper Sec. 4). Optional TTUR-style
+    per-side learning-rate overrides (d_/g_learning_rate) are balance
+    levers with no reference counterpart; None keeps the shared rate."""
     t = cfg.train
-    return optax.adam(t.learning_rate, b1=t.beta1, b2=t.beta2)
+    lr = t.learning_rate
+    if net == "gen":
+        lr = t.g_learning_rate if t.g_learning_rate is not None else lr
+    else:
+        lr = t.d_learning_rate if t.d_learning_rate is not None else lr
+    return optax.adam(lr, b1=t.beta1, b2=t.beta2)
 
 
 @flax.struct.dataclass
@@ -56,8 +64,8 @@ def _jitted_create(cfg: ExperimentConfig, seed: int):
         if m.use_video_discriminator:
             params["dv"], bn["dv"] = discriminators.video_init(kv, m)
 
-        tx = make_optimizer(cfg)
-        opt = {name: tx.init(p) for name, p in params.items()}
+        opt = {name: make_optimizer(cfg, name).init(p)
+               for name, p in params.items()}
         return TrainState(step=jnp.zeros((), jnp.int32), root_key=root,
                           params=params, bn=bn, opt=opt)
 

@@ -72,7 +72,8 @@ def _loss_fn(params: Dict[str, Any], bn: Dict[str, Any], real: jax.Array,
     di_fake, st = discriminators.image_apply(
         params["di"], st, fake_frame_d, m, train=True)
     new_bn["di"] = st
-    loss_di = losses.d_loss(di_real, di_fake)
+    loss_di = losses.d_loss(di_real, di_fake,
+                            label_smoothing=cfg.train.label_smoothing)
     metrics["loss_di"] = loss_di
 
     # ---- D_V loss (R4) on the S_T clip ----
@@ -83,7 +84,8 @@ def _loss_fn(params: Dict[str, Any], bn: Dict[str, Any], real: jax.Array,
         dv_fake, cls_fake_d, st = discriminators.video_apply(
             params["dv"], st, fake_d, m, train=True)
         new_bn["dv"] = st
-        loss_dv = losses.d_loss(dv_real, dv_fake)
+        loss_dv = losses.d_loss(dv_real, dv_fake,
+                                label_smoothing=cfg.train.label_smoothing)
         if m.conditional:
             # InfoGAN-style aux CE (R10): D_V's head classifies real clips
             # by their dataset label and (Q-style) fakes by the sampled one.
@@ -121,12 +123,25 @@ def train_step(state: TrainState, real: jax.Array,
     grads, (new_bn, metrics) = jax.grad(_loss_fn, has_aux=True)(
         state.params, state.bn, real, labels, key, cfg)
 
-    tx = make_optimizer(cfg)
     new_params: Dict[str, Any] = {}
     new_opt: Dict[str, Any] = {}
     for name in state.params:
-        updates, new_opt[name] = tx.update(grads[name], state.opt[name],
-                                           state.params[name])
+        tx = make_optimizer(cfg, name)
+        every = (cfg.train.g_update_every if name == "gen"
+                 else cfg.train.d_update_every)
+        if every > 1:
+            # Balance lever: apply this net's Adam update only every k-th
+            # step. lax.cond keeps it ONE program; on skipped steps params
+            # AND optimizer moments stay untouched (a zeroed-gradient
+            # update would still decay m/v — not a true skip).
+            updates, new_opt[name] = jax.lax.cond(
+                state.step % every == 0,
+                lambda g, o, p, t=tx: t.update(g, o, p),
+                lambda g, o, p: (jax.tree.map(jnp.zeros_like, g), o),
+                grads[name], state.opt[name], state.params[name])
+        else:
+            updates, new_opt[name] = tx.update(grads[name], state.opt[name],
+                                               state.params[name])
         new_params[name] = jax.tree.map(lambda p, u: p + u,
                                         state.params[name], updates)
     return state.replace(step=state.step + 1, params=new_params,

@@ -128,3 +128,70 @@ def test_integration_50_steps(tiny_cfg):
     v1 = np.asarray(generator.generate(s.params["gen"], s.bn["gen"],
                                        jax.random.key(99), 2, m))
     assert not np.allclose(v0, v1)
+
+
+def test_label_smoothing_math():
+    """One-sided smoothing: L_real = (1-s)sp(-x) + s*sp(x); fake unchanged."""
+    from mocogan_tpu.ops import losses
+
+    x = jnp.asarray([0.3, -1.2, 2.0])
+    f = jnp.asarray([0.5, 0.1, -0.7])
+    s = 0.1
+    got = losses.d_loss(x, f, label_smoothing=s)
+    want = ((1 - s) * np.mean(np.logaddexp(0, -np.asarray(x)))
+            + s * np.mean(np.logaddexp(0, np.asarray(x)))
+            + np.mean(np.logaddexp(0, np.asarray(f))))
+    np.testing.assert_allclose(float(got), want, rtol=1e-6)
+    # s=0 is exactly the reference formulation
+    np.testing.assert_allclose(float(losses.d_loss(x, f)),
+                               float(losses.d_loss(x, f, 0.0)))
+
+
+def test_update_ratio_skips_d_updates(tiny_cfg, tiny_batch):
+    """d_update_every=2: D params+opt state frozen on odd steps, G updates
+    every step; both move on even steps."""
+    import dataclasses
+
+    vids, _ = tiny_batch
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(tiny_cfg.train,
+                                            d_update_every=2))
+    s0 = train_state.create(cfg)
+    fn = train_step.jitted_train_step(cfg)
+
+    def flat(tree):
+        return np.concatenate([np.ravel(np.asarray(x))
+                               for x in jax.tree.leaves(jax.device_get(tree))])
+
+    # fn donates its state arg: snapshot host copies before the next call
+    s1, _ = fn(s0, jnp.asarray(vids), None)       # step 0 -> D updates
+    di1, dv1 = flat(s1.params["di"]), flat(s1.params["dv"])
+    gen1, opt_di1 = flat(s1.params["gen"]), flat(s1.opt["di"])
+    s2, _ = fn(s1, jnp.asarray(vids), None)       # step 1 -> D frozen
+    di2, gen2 = flat(s2.params["di"]), flat(s2.params["gen"])
+    np.testing.assert_array_equal(di2, di1)
+    np.testing.assert_array_equal(flat(s2.params["dv"]), dv1)
+    np.testing.assert_array_equal(flat(s2.opt["di"]), opt_di1)
+    assert not np.array_equal(gen2, gen1)
+    s3, _ = fn(s2, jnp.asarray(vids), None)       # step 2 -> D updates again
+    assert not np.array_equal(flat(s3.params["di"]), di2)
+
+
+def test_ttur_learning_rates(tiny_cfg):
+    """Per-side lr overrides reach the right optimizers."""
+    import dataclasses
+
+    import optax
+
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(
+            tiny_cfg.train, d_learning_rate=1e-3, g_learning_rate=5e-5))
+    # optax.adam closes over lr; verify via a single-param update magnitude
+    p = {"w": jnp.ones((4,))}
+    g = {"w": jnp.ones((4,))}
+    for net, lr in [("gen", 5e-5), ("di", 1e-3), ("dv", 1e-3)]:
+        tx = train_state.make_optimizer(cfg, net)
+        st = tx.init(p)
+        up, _ = tx.update(g, st, p)
+        # Adam's first step is -lr * g/(sqrt(g^2)+eps) ~= -lr
+        np.testing.assert_allclose(np.asarray(up["w"]), -lr, rtol=1e-3)
