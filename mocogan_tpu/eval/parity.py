@@ -64,6 +64,13 @@ def main(argv=None):
     ap.add_argument("--config", default="toy")
     ap.add_argument("--run-dir", default=None,
                     help="restore params from this run's checkpoints/")
+    ap.add_argument("--reference-npz", default=None,
+                    help="import the generator from a Chainer save_npz "
+                         "checkpoint (eval/import_chainer.py) and digest "
+                         "ITS generate() output — the reference-parity "
+                         "path")
+    ap.add_argument("--rename", nargs="*", metavar="ACTUAL=CANONICAL",
+                    help="npz key renames for --reference-npz")
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--record", default=None,
@@ -76,7 +83,16 @@ def main(argv=None):
     from mocogan_tpu.train import state as train_state
 
     cfg = get_config(args.config)
-    state = train_state.create(cfg)
+    if args.reference_npz:
+        from mocogan_tpu.eval.import_chainer import import_experiment
+
+        rename = dict(kv.split("=", 1) for kv in args.rename or [])
+        state, reports = import_experiment(cfg, gen_npz=args.reference_npz,
+                                           rename=rename or None)
+        print(f"[parity] imported generator from {args.reference_npz}: "
+              f"{len(reports['gen']['matched'])} tensors")
+    else:
+        state = train_state.create(cfg)
     if args.run_dir:
         from mocogan_tpu.utils.checkpoint import CheckpointManager
 
