@@ -109,15 +109,16 @@ class RandomProjectionFeatures:
         return np.asarray(jax.device_get(self._apply(videos)))
 
 
-class I3DFeatures:
-    """Real I3D features from user-supplied weights (offline env: none are
-    bundled). Expects an .npz of conv/dense params; see README_EVAL."""
+def I3DFeatures(weights_path: str, *, features: str = "logits",
+                resize_to: int = 224):
+    """Real I3D features from user-supplied Kinetics weights (offline env:
+    none are bundled, but the full inflated-Inception-v1 architecture is
+    implemented and unit-tested — see eval/i3d.py for the documented npz
+    weight layout; loading validates every tensor's shape)."""
+    from mocogan_tpu.eval.i3d import I3DExtractor
 
-    def __init__(self, weights_path: str):
-        raise NotImplementedError(
-            "Pretrained I3D weights are not available in this offline "
-            "environment. Provide weights and implement the mapping here, "
-            "or use RandomProjectionFeatures for relative comparisons.")
+    return I3DExtractor(weights_path, features=features,
+                        resize_to=resize_to)
 
 
 def fvd(videos_a: np.ndarray, videos_b: np.ndarray,
