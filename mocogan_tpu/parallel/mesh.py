@@ -32,11 +32,27 @@ DATA_AXIS = "data"
 def initialize_distributed() -> None:
     """Initialize multi-process JAX when launched under a multi-host driver
     (no-op on a single host). The reference has no analog — its world is one
-    process (SURVEY.md §5 'Distributed communication backend: Absent')."""
-    if jax.process_count() > 1:
+    process (SURVEY.md §5 'Distributed communication backend: Absent').
+
+    Topology comes from the driver environment: on TPU pods the cluster
+    plugin auto-detects everything; for manual launches (and the 2-process
+    CPU test) JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    pin it explicitly."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    # NB: must not touch jax.devices()/process_count() here — they would
+    # initialize the XLA backend, after which distributed init is illegal.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc else None,
+        process_id=int(pid) if pid else None)
 
 
 def make_mesh(num_devices: Optional[int] = None,
@@ -78,9 +94,27 @@ def shard_batch(mesh: Mesh, *arrays: Any) -> Tuple[jax.Array, ...]:
 
 
 def shard_state(mesh: Mesh, state: Any) -> Any:
-    """Replicate a TrainState (or any pytree) across the mesh."""
+    """Replicate a TrainState (or any pytree) across the mesh.
+
+    Multi-host: device_put cannot target non-addressable devices, so each
+    process contributes its (identical) local copy of every leaf via
+    make_array_from_process_local_data; typed PRNG keys are unwrapped to
+    their raw data for the host round-trip and re-wrapped."""
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+    def put(x):
+        x = jax.numpy.asarray(x)
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.device_get(jax.random.key_data(x)))
+            arr = jax.make_array_from_process_local_data(rep, data)
+            return jax.random.wrap_key_data(arr, impl=impl)
+        return jax.make_array_from_process_local_data(
+            rep, np.asarray(jax.device_get(x)))
+
+    return jax.tree.map(put, state)
 
 
 def make_sharded_train_step(cfg, mesh: Mesh):
