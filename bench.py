@@ -137,10 +137,10 @@ def generate_clips_per_sec() -> float:
 
 def main():
     tpu_sps = tpu_train_steps_per_sec()
-    # bf16 variant is opt-in (BENCH_BF16=1): each extra program pays the
-    # remote backend's slow first execution (~minutes on a cold cache).
+    # bf16 variant reported by default (BENCH_BF16=0 skips it when the
+    # extra program's cold-cache first execution matters).
     bf16_sps = None
-    if os.environ.get("BENCH_BF16"):
+    if os.environ.get("BENCH_BF16", "1") != "0":
         try:
             bf16_sps = tpu_train_steps_per_sec("bfloat16")
         except Exception as e:  # noqa: BLE001
