@@ -81,7 +81,15 @@ def decode_frames(params: Params, state: State, z: jax.Array, cfg: ModelConfig,
                 params[f"bn{i}"], state[f"bn{i}"], h, train=train,
                 axis_name=axis_name)
             h = jax.nn.relu(h)
-    return jnp.tanh(h.astype(jnp.float32)), new_state
+    out = jnp.tanh(h.astype(jnp.float32))
+    if train:
+        # Training consumes the frames in compute dtype anyway (both Ds cast
+        # their inputs); materializing the B*T-frame tensor — and its
+        # autodiff cotangent — at 2 bytes instead of 4 removes the largest
+        # fp32 HBM buffers from the bf16 step. Inference keeps fp32 output
+        # (the bit-for-bit generate() contract).
+        out = out.astype(dtype)
+    return out, new_state
 
 
 def sample_videos(params: Params, state: State, key: jax.Array, batch: int,

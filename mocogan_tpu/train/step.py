@@ -54,6 +54,13 @@ def _loss_fn(params: Dict[str, Any], bn: Dict[str, Any], real: jax.Array,
     new_bn: Dict[str, Any] = {}
     metrics: Dict[str, jax.Array] = {}
 
+    # Both discriminators consume inputs in compute dtype; casting the real
+    # clips ONCE here (instead of per conv) halves their HBM traffic under
+    # bfloat16. Loss math stays fp32 (ops/losses.py casts logits up).
+    dtype = jnp.dtype(m.compute_dtype)
+    if real.dtype != dtype:
+        real = real.astype(dtype)
+
     # ---- fake path: z_C + GRU-rolled z_M -> per-frame decode (R1+R2) ----
     fake, new_bn["gen"], fake_labels = generator.sample_videos(
         params["gen"], bn["gen"], key, batch, m, train=True)
