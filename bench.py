@@ -119,7 +119,9 @@ def generate_clips_per_sec() -> float:
 
     cfg = get_config("mug")
     s = train_state.create(cfg)
-    n_clips = 64
+    # 256 clips/dispatch: at 64 the measurement is dominated by per-dispatch
+    # tunnel latency, not generator throughput (serving batches larger).
+    n_clips = 256
 
     def gen(key):
         return generator.generate_fast(s.params["gen"], s.bn["gen"], key,
