@@ -23,7 +23,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 ORACLE = os.path.join(REPO, "benchmarks", "cpu_oracle.json")
 
-BENCH_CFG = dict(config="mug", batch_size=16, steps=30, warmup=3)
+BENCH_CFG = dict(config="mug", batch_size=16, steps=50, warmup=6)
 
 _CHILD_SRC = r"""
 import json, os, time
@@ -110,6 +110,44 @@ def tpu_train_steps_per_sec(compute_dtype: str = "float32") -> float:
     return n / (time.time() - t0)
 
 
+def tpu_scan_steps_per_sec(compute_dtype: str = "float32",
+                           k: int = 16) -> float:
+    """The PRODUCTION path: K steps per dispatch with the dataset resident
+    in HBM (device cache) — on-device clip sampling, windowing, fused
+    Pallas ingest and the adversarial update all inside one scanned
+    program (the `mug` config's defaults: device_cache=True,
+    steps_per_call=16). Amortizes the per-dispatch tunnel latency the
+    single-step methodology above pays on every step."""
+    import jax
+    import numpy as np
+
+    from mocogan_tpu import get_config
+    from mocogan_tpu.parallel import mesh as pmesh
+    from mocogan_tpu.train import state as train_state
+
+    cfg = get_config("mug",
+                     **{"train.batch_size": BENCH_CFG["batch_size"],
+                        "model.compute_dtype": compute_dtype})
+    mesh = pmesh.make_mesh(1)
+    m = cfg.model
+    rng = np.random.default_rng(0)
+    pool = rng.integers(0, 256, (64, m.video_length + 8, m.image_size,
+                                 m.image_size, m.channels), dtype=np.uint8)
+    lengths = np.full((64,), m.video_length + 8, np.int32)
+    rep = pmesh.replicated(mesh)
+    pool_d, len_d = jax.device_put(pool, rep), jax.device_put(lengths, rep)
+    s = pmesh.shard_state(mesh, train_state.create(cfg))
+    fn = pmesh.make_cached_train_step(cfg, mesh, k)
+    s, metrics = fn(s, pool_d, len_d, None)
+    jax.device_get(metrics)
+    reps = 4
+    t0 = time.time()
+    for _ in range(reps):
+        s, metrics = fn(s, pool_d, len_d, None)
+    jax.device_get(metrics)
+    return k * reps / (time.time() - t0)
+
+
 def generate_clips_per_sec() -> float:
     import jax
 
@@ -147,6 +185,14 @@ def main():
             bf16_sps = tpu_train_steps_per_sec("bfloat16")
         except Exception as e:  # noqa: BLE001
             print(f"[bench] bf16 variant failed: {e}", file=sys.stderr)
+    # Production multi-step path (device cache + scan; BENCH_SCAN=0 skips).
+    scan_sps = scan_bf16_sps = None
+    if os.environ.get("BENCH_SCAN", "1") != "0":
+        try:
+            scan_sps = tpu_scan_steps_per_sec("float32")
+            scan_bf16_sps = tpu_scan_steps_per_sec("bfloat16")
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] scan variant failed: {e}", file=sys.stderr)
     clips = generate_clips_per_sec()
     try:
         cpu_sps = cpu_baseline_steps_per_sec()
@@ -166,6 +212,10 @@ def main():
         "extra": {"generate_clips_per_sec": round(clips, 1),
                   "train_steps_per_sec_bf16": (round(bf16_sps, 2)
                                                if bf16_sps else None),
+                  "train_steps_per_sec_scan16": (round(scan_sps, 2)
+                                                 if scan_sps else None),
+                  "train_steps_per_sec_scan16_bf16": (
+                      round(scan_bf16_sps, 2) if scan_bf16_sps else None),
                   "cpu_oracle_steps_per_sec": (round(cpu_sps, 4)
                                                if cpu_sps else None),
                   "batch_size": BENCH_CFG["batch_size"]},

@@ -39,22 +39,32 @@ def gaussian_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, np.atleast_2d(cov)
 
 
+def _trace_sqrt_product(sigma1: np.ndarray, sigma2: np.ndarray) -> float:
+    """Tr(sqrt(S1 S2)) via symmetric eigendecompositions only.
+
+    S1 S2 is not symmetric, but sqrt(S1) S2 sqrt(S1) is symmetric PSD with
+    the same eigenvalues as S1 S2, so the trace of the matrix square root
+    equals the sum of the square roots of its (clipped) eigenvalues. This
+    is numerically stabler than a general sqrtm on the non-symmetric
+    product and avoids complex round-off leaking into the distance."""
+    vals1, vecs1 = np.linalg.eigh(sigma1)
+    sq1 = (vecs1 * np.sqrt(np.clip(vals1, 0.0, None))) @ vecs1.T
+    prod = sq1 @ sigma2 @ sq1
+    vals = np.linalg.eigvalsh((prod + prod.T) / 2.0)
+    return float(np.sqrt(np.clip(vals, 0.0, None)).sum())
+
+
 def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray,
                      sigma2: np.ndarray, eps: float = 1e-6) -> float:
-    """d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)) — computed via an
-    eigendecomposition-stabilized sqrtm (scipy.linalg.sqrtm equivalent)."""
-    import scipy.linalg
-
+    """d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)), the FID/FVD
+    Fréchet form, with the cross term from `_trace_sqrt_product`."""
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
-    if not np.isfinite(covmean).all():
+    tsp = _trace_sqrt_product(sigma1, sigma2)
+    if not np.isfinite(tsp):
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean, _ = scipy.linalg.sqrtm(
-            (sigma1 + offset) @ (sigma2 + offset), disp=False)
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
+        tsp = _trace_sqrt_product(sigma1 + offset, sigma2 + offset)
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
-                 - 2.0 * np.trace(covmean))
+                 - 2.0 * tsp)
 
 
 @dataclasses.dataclass
