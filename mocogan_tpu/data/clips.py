@@ -33,13 +33,22 @@ class ClipDataset:
         self.labels: List[int] = []
         self.class_names: List[str] = []
 
+        # Class dirs = subdirectories that contain at least one .npy.
+        # Stray clip-free subdirectories (logs/, checkpoints/, an empty
+        # class) are ignored rather than silently disabling class labeling
+        # for the whole tree. Mixing class dirs with top-level clips is
+        # ambiguous — refuse instead of guessing.
         subdirs = sorted(
             d for d in os.listdir(data_dir)
-            if os.path.isdir(os.path.join(data_dir, d)))
-        if subdirs and all(
-                any(f.endswith(".npy")
-                    for f in os.listdir(os.path.join(data_dir, d)))
-                for d in subdirs):
+            if os.path.isdir(os.path.join(data_dir, d)) and any(
+                f.endswith(".npy")
+                for f in os.listdir(os.path.join(data_dir, d))))
+        flat = sorted(f for f in os.listdir(data_dir) if f.endswith(".npy"))
+        if subdirs and flat:
+            raise ValueError(
+                f"{data_dir} mixes class subdirectories {subdirs} with "
+                f"top-level clips ({len(flat)} .npy); use one layout")
+        if subdirs:
             self.class_names = subdirs
             for ci, d in enumerate(subdirs):
                 for f in sorted(os.listdir(os.path.join(data_dir, d))):
@@ -47,10 +56,9 @@ class ClipDataset:
                         self.files.append(os.path.join(data_dir, d, f))
                         self.labels.append(ci)
         else:
-            for f in sorted(os.listdir(data_dir)):
-                if f.endswith(".npy"):
-                    self.files.append(os.path.join(data_dir, f))
-                    self.labels.append(0)
+            for f in flat:
+                self.files.append(os.path.join(data_dir, f))
+                self.labels.append(0)
         if not self.files:
             raise FileNotFoundError(f"no .npy clips under {data_dir}")
 

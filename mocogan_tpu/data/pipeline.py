@@ -27,16 +27,27 @@ class ThreadedPrefetcher:
         self._err: Exception | None = None
         self._stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that gives up once close() raised the stop flag
+            (a plain blocking put can deadlock the worker forever when the
+            consumer stops draining — e.g. depth=1 at close time)."""
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for item in it:
-                    if self._stop.is_set():
+                    if not put_or_stop(item):
                         return
-                    self._q.put(item)
             except Exception as e:  # noqa: BLE001 — re-raised on consumer side
                 self._err = e
             finally:
-                self._q.put(self._SENTINEL)
+                put_or_stop(self._SENTINEL)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -54,9 +65,12 @@ class ThreadedPrefetcher:
 
     def close(self):
         self._stop.set()
-        # drain so the worker can observe the stop flag and exit
+        # drain so a worker mid-put can finish; its next put sees the stop
+        # flag and gives up, so the thread (and the iterator it holds —
+        # mmap'd stores, open files) always terminates
         try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        self._thread.join(timeout=2.0)

@@ -185,7 +185,20 @@ def apply(params, videos: jax.Array, features: str = "logits") -> jax.Array:
     x = _maxpool(x, (2, 2, 2), (2, 2, 2))
     x = _mixed(params, "Mixed_5b", x)
     x = _mixed(params, "Mixed_5c", x)
-    pooled = x.mean(axis=(1, 2, 3))                   # (B, 1024)
+    # Canonical kinetics-i3d head: avg_pool3d window (2, 7, 7), VALID,
+    # stride 1 over the Mixed_5c map, then the (linear) logits conv per
+    # window position averaged over time. Averaging window outputs FIRST
+    # is identical by linearity, and for T' > 2 (32-frame clips) it weights
+    # interior frames (1,2,2,...,2,1)/(2(T'-1)) — a uniform global mean
+    # would deviate from published FVD for anything longer than 16 frames.
+    # Windows clamp to the map size so sub-224 inputs (random-weight
+    # relative mode) still work; at 224x224x16f (T'=2, 7x7) this reduces
+    # to the single full-map window.
+    bt, h5, w5 = x.shape[1], x.shape[2], x.shape[3]
+    k = (min(2, bt), min(7, h5), min(7, w5))
+    win = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, *k, 1),
+                                (1, 1, 1, 1, 1), "VALID")
+    pooled = (win / float(k[0] * k[1] * k[2])).mean(axis=(1, 2, 3))
     if features == "pool":
         return pooled
     if features != "logits":

@@ -87,10 +87,18 @@ bool parse_npy(const uint8_t* buf, size_t len, int64_t shape[4],
   std::string tup = hdr.substr(sp + 1, ep - sp - 1);
   int rank = 0;
   const char* p = tup.c_str();
-  while (*p && rank < 4) {
+  while (*p) {
     char* endp = nullptr;
     long long v = std::strtoll(p, &endp, 10);
     if (endp == p) break;
+    if (rank == 4) {
+      // A 5th dimension must REJECT the file, not truncate the shape:
+      // frame_bytes computed from a truncated tuple would silently serve
+      // byte-misaligned garbage as training data.
+      *why = "rank > 4";
+      return false;
+    }
+    if (v <= 0) { *why = "non-positive dimension"; return false; }
     shape[rank++] = static_cast<int64_t>(v);
     p = endp;
     while (*p == ',' || *p == ' ') ++p;

@@ -180,6 +180,11 @@ def resize_normalize_auto(video_u8: jax.Array, out_size: int,
                           mesh=None, use_pallas=None) -> jax.Array:
     """Route to the shard_map-wrapped kernel on multi-device meshes (GSPMD
     cannot auto-partition a pallas_call) and to the plain call otherwise."""
+    if use_pallas is None:
+        # Resolve the auto default HERE: None is falsy, so deferring it to
+        # resize_normalize would skip the shard_map route on multi-device
+        # TPU meshes and hand GSPMD an unpartitionable pallas_call.
+        use_pallas = _on_tpu()
     if mesh is not None and mesh.devices.size > 1 and use_pallas:
         return resize_normalize_sharded(video_u8, out_size, mesh,
                                         use_pallas=use_pallas)

@@ -33,6 +33,26 @@ def frame_indices(key: jax.Array, batch: int, t: int) -> jax.Array:
     return jax.random.randint(key, (batch,), 0, t)
 
 
+def gather_windows(pool: jax.Array, lengths: jax.Array, sel: jax.Array,
+                   starts: jax.Array, t: int) -> jax.Array:
+    """Gather t-frame temporal windows from a padded clip pool.
+
+    pool:    (N, T_max, H, W, C) — clips zero-padded to T_max
+    lengths: (N,) true frame counts
+    sel:     (B,) clip indices; starts: (B,) window starts
+
+    Reads EXACTLY t frames per clip (never the T_max padding — ~T_max/t
+    less HBM gather traffic than slicing padded clips), and wraps clips
+    shorter than t modulo their true length: the same (start + j) % n
+    looping the host/native iterators use, so no zero-padded frames ever
+    reach training.
+    """
+    lens = jnp.take(lengths, sel)
+    frame_ix = (starts[:, None] + jnp.arange(t, dtype=jnp.int32)) \
+        % jnp.maximum(lens, 1)[:, None]               # (B, t)
+    return pool[sel[:, None], frame_ix]               # (B, t, H, W, C)
+
+
 def epoch_shuffle_select(key: jax.Array, step, batch: int,
                          n: int) -> jax.Array:
     """Clip indices for one batch under epoch-shuffle semantics (the

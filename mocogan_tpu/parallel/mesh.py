@@ -206,6 +206,40 @@ def shard_stacked_batch(mesh: Mesh, *arrays: Any) -> Tuple[jax.Array, ...]:
     return out if len(out) > 1 else out[0]
 
 
+def local_batch_slice(mesh: Mesh, *arrays: Any, axis: int = 0) -> Any:
+    """Slice host arrays' global batch axis down to THIS process's local
+    shard (single process: identity).
+
+    The data iterators produce the IDENTICAL global batch on every process
+    (batch k is a pure function of (seed, k)), so per-host input sharding
+    is a deterministic slice: process p materializes and uploads only rows
+    [p*local_b, (p+1)*local_b) — the same convention `shard_batch`'s
+    make_array_from_process_local_data assembly expects (process p's
+    addressable devices hold the p-th contiguous span of the 1-D mesh).
+    Feeding the FULL global batch to shard_batch on multi-host would
+    instead concatenate all processes' copies — duplicated data at
+    process_count times the intended batch size.
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        a = np.asarray(a)
+        b = a.shape[axis]
+        if b % n_proc:
+            raise ValueError(f"global batch {b} not divisible by "
+                             f"{n_proc} processes")
+        lb = b // n_proc
+        lo = jax.process_index() * lb
+        sl = (slice(None),) * axis + (slice(lo, lo + lb),)
+        out.append(a[sl])
+    return tuple(out) if len(out) > 1 else out[0]
+
+
 def local_batch_size(cfg, mesh: Mesh) -> int:
     """Per-process slice of the global batch (multi-host input sharding)."""
     global_b = cfg.train.batch_size

@@ -98,16 +98,25 @@ class Trainer:
     def _put(self, batch, labels: Optional[np.ndarray] = None):
         """Accepts either (videos f32 in [-1,1], labels) pairs (synthetic
         path) or the clip pipeline's {"raw" uint8, "frame_idx", "labels"}
-        dict (R6 + fused on-device preproc, B3)."""
+        dict (R6 + fused on-device preproc, B3).
+
+        Iterators yield the GLOBAL batch (identical on every process);
+        multi-host, each process uploads only its local slice — see
+        mesh.local_batch_slice."""
         if isinstance(batch, dict):
-            raw = pmesh.shard_batch(self.mesh, batch["raw"])
-            idx = pmesh.shard_batch(self.mesh, batch["frame_idx"])
+            raw, idx = pmesh.local_batch_slice(
+                self.mesh, batch["raw"], batch["frame_idx"])
+            raw = pmesh.shard_batch(self.mesh, raw)
+            idx = pmesh.shard_batch(self.mesh, idx)
             real = self._fused_preproc()(raw, idx)
             labels = batch.get("labels")
         else:
-            real = pmesh.shard_batch(self.mesh, batch)
-        lab = (pmesh.shard_batch(self.mesh, labels)
-               if labels is not None and self.cfg.model.conditional else None)
+            real = pmesh.shard_batch(
+                self.mesh, pmesh.local_batch_slice(self.mesh, batch))
+        lab = None
+        if labels is not None and self.cfg.model.conditional:
+            lab = pmesh.shard_batch(
+                self.mesh, pmesh.local_batch_slice(self.mesh, labels))
         return real, lab
 
     def eval_fvd(self, real_pool: np.ndarray) -> float:
@@ -151,6 +160,10 @@ class Trainer:
             idx = np.broadcast_to(np.arange(t, dtype=np.int32), (k, b, t))
             labs = (np.stack([np.asarray(bb[1]) for bb in items])
                     if self.cfg.model.conditional else None)
+        # (K, B, ...) stacks: batch axis is 1; multi-host uploads the local
+        # slice only (see _put)
+        raw, labs, idx = pmesh.local_batch_slice(self.mesh, raw, labs, idx,
+                                                 axis=1)
         return pmesh.shard_stacked_batch(self.mesh, raw, labs, idx)
 
     def run(self, data_iterator: Iterator[Tuple[np.ndarray, Any]],
@@ -281,10 +294,11 @@ class Trainer:
                 f"device cache: longest stored clip has {pool_np.shape[1]} "
                 f"frames < video_length={cfg.model.video_length}; "
                 "re-preprocess with more frames or lower video_length")
-        rep = pmesh.replicated(self.mesh)
-        pool = jax.device_put(pool_np, rep)
-        lengths = jax.device_put(lengths_np, rep)
-        labels = (jax.device_put(labels_np, rep)
+        # shard_state replicates across the mesh and is multi-host safe
+        # (device_put cannot target non-addressable devices; see
+        # mesh.shard_state's make_array_from_process_local_data branch).
+        pool, lengths = pmesh.shard_state(self.mesh, (pool_np, lengths_np))
+        labels = (pmesh.shard_state(self.mesh, labels_np)
                   if cfg.model.conditional else None)
         print(f"[trainer] device cache: {pool_np.nbytes / 1e6:.0f} MB, "
               f"{len(lengths_np)} clips resident in HBM")

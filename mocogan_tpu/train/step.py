@@ -244,12 +244,9 @@ def cached_multi_train_step(state: TrainState, pool: jax.Array,
                 prng.role_key(s.root_key, "epoch"), s.step, b, n)
         else:
             sel = jax.random.randint(k1, (b,), 0, n)
-        max_start = jnp.maximum(lengths[sel] - t + 1, 1)
+        max_start = jnp.maximum(jnp.take(lengths, sel) - t + 1, 1)
         starts = jax.random.randint(k2, (b,), 0, 1 << 30) % max_start
-        clips = jnp.take(pool, sel, axis=0)          # (B, T_max, H, W, C)
-        windows = jax.vmap(
-            lambda c, st: jax.lax.dynamic_slice_in_dim(c, st, t, axis=0)
-        )(clips, starts)
+        windows = sampling.gather_windows(pool, lengths, sel, starts, t)
         if batch_sharding is not None:
             # pool is replicated; pin the sampled batch to the data mesh so
             # the step shards exactly like the host-fed path

@@ -30,7 +30,12 @@ _ROLES = (
     "init",           # parameter initialization
     "epoch",          # per-epoch clip permutation (epoch_shuffle mode)
 )
-_ROLE_ID = {name: i for i, name in enumerate(_ROLES)}
+# Role ids live at 2^30 + i so they can NEVER collide with step counters
+# (step_key folds the raw step number, bounded far below 2^30): with ids
+# 0..7, fold_in(root, 6) would simultaneously be the "init" key and step
+# 6's step key, coupling parameter init with step-6 randomness.
+_ROLE_OFFSET = 1 << 30
+_ROLE_ID = {name: _ROLE_OFFSET + i for i, name in enumerate(_ROLES)}
 
 
 def step_key(root: jax.Array, step) -> jax.Array:

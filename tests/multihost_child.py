@@ -66,7 +66,9 @@ def main() -> None:
                                    t=cfg.model.video_length,
                                    size=cfg.model.image_size)
     lo = jax.process_index() * local_b
-    real = pmesh.shard_batch(mesh, np.asarray(vids)[lo:lo + local_b])
+    sliced = pmesh.local_batch_slice(mesh, np.asarray(vids))
+    np.testing.assert_array_equal(sliced, np.asarray(vids)[lo:lo + local_b])
+    real = pmesh.shard_batch(mesh, sliced)
     assert real.shape[0] == cfg.train.batch_size  # global shape
 
     state = pmesh.shard_state(mesh, train_state.create(cfg))

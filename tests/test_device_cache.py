@@ -34,6 +34,53 @@ def test_load_pool(tmp_path):
     assert (pool[short, lengths[short]:] == 0).all()
 
 
+def test_gather_windows_wraps_short_clips():
+    """The device-cache window gather must loop short clips modulo their
+    TRUE length (the host/native iterators' semantics) — never read the
+    zero padding as training frames."""
+    import jax.numpy as jnp
+
+    from mocogan_tpu.ops import sampling
+
+    t_max, t = 8, 6
+    # clip 0: 4 real frames valued 1..4 then zero padding; clip 1: full 8
+    pool = np.zeros((2, t_max, 2, 2, 1), np.uint8)
+    for j in range(4):
+        pool[0, j] = j + 1
+    for j in range(t_max):
+        pool[1, j] = 10 + j
+    lengths = np.asarray([4, t_max], np.int32)
+
+    win = np.asarray(sampling.gather_windows(
+        jnp.asarray(pool), jnp.asarray(lengths),
+        jnp.asarray([0, 1], np.int32), jnp.asarray([0, 2], np.int32), t))
+    # short clip wraps: 1,2,3,4,1,2 — no zeros from the padding
+    np.testing.assert_array_equal(win[0, :, 0, 0, 0], [1, 2, 3, 4, 1, 2])
+    # full-length clip: plain contiguous window from start=2
+    np.testing.assert_array_equal(win[1, :, 0, 0, 0],
+                                  [12, 13, 14, 15, 16, 17])
+    assert (win != 0).all()
+
+
+def test_class_detection_ignores_stray_dirs(tmp_path):
+    """A clip-free subdirectory (logs/, an empty class) must not disable
+    class labeling for the rest of the tree."""
+    _clip_tree(tmp_path)
+    (tmp_path / "logs").mkdir()
+    (tmp_path / "logs" / "notes.txt").write_text("x")
+    ds = clips.ClipDataset(str(tmp_path), video_length=8)
+    assert ds.class_names == ["class0", "class1"]
+    assert set(ds.labels) == {0, 1}
+
+
+def test_mixed_flat_and_class_layout_rejected(tmp_path):
+    _clip_tree(tmp_path)
+    np.save(tmp_path / "stray.npy",
+            np.zeros((4, 8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="mixes class subdirectories"):
+        clips.ClipDataset(str(tmp_path), video_length=8)
+
+
 def test_cached_multi_step(tmp_path, tiny_cfg):
     import jax
 

@@ -37,6 +37,21 @@ def test_forward_shapes_and_determinism():
     np.testing.assert_array_equal(logits, logits2)
 
 
+def test_forward_32_frames():
+    """The scaled config's 32-frame clips reach the head with T' = 4: the
+    canonical avg_pool3d((2,7,7), VALID) + temporal window averaging must
+    handle T' > 2 (weights (1,2,...,2,1)/(2(T'-1)), not a uniform mean)."""
+    params = jax.tree.map(jnp.asarray, i3d.init_random(jax.random.key(3)))
+    v = _vids(b=1, t=32, s=64, seed=4)
+    logits = np.asarray(jax.device_get(
+        jax.jit(lambda p, x: i3d.apply(p, x))(params, v)))
+    assert logits.shape == (1, 400)
+    assert np.isfinite(logits).all()
+    pooled = np.asarray(jax.device_get(
+        jax.jit(lambda p, x: i3d.apply(p, x, features="pool"))(params, v)))
+    assert pooled.shape == (1, 1024)
+
+
 def test_resize_protocol_matches_preproc_oracle():
     from mocogan_tpu.ops import preproc
 

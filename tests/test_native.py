@@ -79,6 +79,23 @@ def test_non_uint8_rejected(tmp_path, lib_ok):
         native.NativeClipStore([p], labels=[0])
 
 
+def test_rank5_npy_rejected(tmp_path, lib_ok):
+    """A rank-5 array must REJECT at open — a truncated shape parse would
+    compute wrong frame strides and serve misaligned bytes as frames."""
+    p = str(tmp_path / "r5.npy")
+    np.save(p, np.zeros((2, 3, 8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="rank"):
+        native.NativeClipStore([p], labels=[0])
+
+
+def test_zero_length_dim_rejected(tmp_path, lib_ok):
+    """A zero-frame clip would be a modulo-by-zero in cs_fill_batch."""
+    p = str(tmp_path / "z.npy")
+    np.save(p, np.zeros((0, 8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="non-positive|rank"):
+        native.NativeClipStore([p], labels=[0])
+
+
 def test_iterator_uses_native_and_matches_python(tmp_path, lib_ok, tiny_cfg):
     import dataclasses
 

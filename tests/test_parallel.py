@@ -96,3 +96,25 @@ def test_batch_sharding_layout(tiny_cfg, tiny_batch):
     # each device holds B/8 clips
     shard = real.addressable_shards[0]
     assert shard.data.shape[0] == vids.shape[0] // 8
+
+
+def test_local_batch_slice_partitions_global_batch(monkeypatch):
+    """Multi-host input sharding: each process uploads only its contiguous
+    slice of the deterministic global batch (loop.py feeds the FULL batch
+    through this before shard_batch — without it, multi-host runs would
+    duplicate data at process_count times the intended batch size)."""
+    mesh = pmesh.make_mesh(8)
+    a = np.arange(16)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    np.testing.assert_array_equal(pmesh.local_batch_slice(mesh, a),
+                                  np.arange(8, 16))
+    # (K, B, ...) stacks slice on axis=1; None passes through
+    b = np.arange(32).reshape(2, 16)
+    ob, on = pmesh.local_batch_slice(mesh, b, None, axis=1)
+    assert on is None
+    np.testing.assert_array_equal(ob, b[:, 8:])
+    with pytest.raises(ValueError, match="not divisible"):
+        pmesh.local_batch_slice(mesh, np.arange(15))
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    np.testing.assert_array_equal(pmesh.local_batch_slice(mesh, a), a)

@@ -32,6 +32,18 @@ def test_prefetcher_close_mid_stream():
     it.close()  # must not hang
 
 
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_prefetcher_close_terminates_worker(depth):
+    """close() must always end the worker thread — with depth=1 a worker
+    blocked in a plain put() would leak forever (its sentinel put can
+    never find a free slot once the consumer stops draining)."""
+    it = ThreadedPrefetcher(iter(range(1_000_000)), depth=depth)
+    assert next(it) == 0
+    it.close()
+    it._thread.join(timeout=2.0)
+    assert not it._thread.is_alive()
+
+
 def test_remat_matches_plain_decode(tiny_cfg):
     """cfg.remat changes memory behavior, not values (same fwd program)."""
     from mocogan_tpu.models import generator

@@ -130,6 +130,22 @@ def test_integration_50_steps(tiny_cfg):
     assert not np.allclose(v0, v1)
 
 
+def test_prng_step_and_role_keys_disjoint():
+    """Role keys must never collide with step keys: with role ids 0..7,
+    fold_in(root, 6) would be both the 'init' key and step 6's key,
+    coupling parameter init with step-6 randomness (role ids now live at
+    2^30 + i)."""
+    root = jax.random.key(123)
+    role_data = {
+        r: np.asarray(jax.random.key_data(prng.role_key(root, r)))
+        for r in prng._ROLES
+    }
+    for s in range(64):
+        sk = np.asarray(jax.random.key_data(prng.step_key(root, s)))
+        for r, rd in role_data.items():
+            assert not np.array_equal(sk, rd), (s, r)
+
+
 def test_label_smoothing_math():
     """One-sided smoothing: L_real = (1-s)sp(-x) + s*sp(x); fake unchanged."""
     from mocogan_tpu.ops import losses
