@@ -81,71 +81,31 @@ def cpu_baseline_steps_per_sec() -> float:
 
 
 def tpu_train_steps_per_sec(compute_dtype: str = "float32") -> float:
-    import jax
-    import jax.numpy as jnp
-
     from mocogan_tpu import get_config
-    from mocogan_tpu.data import synthetic
-    from mocogan_tpu.train import state as train_state
-    from mocogan_tpu.train import step as train_step
+    from mocogan_tpu.utils import benchmarking
 
     cfg = get_config("mug",
                      **{"train.batch_size": BENCH_CFG["batch_size"],
                         "model.compute_dtype": compute_dtype})
-    s = train_state.create(cfg)
-    fn = train_step.jitted_train_step(cfg)
-    vids, _ = synthetic.make_batch(0, cfg.train.batch_size)
-    v = jnp.asarray(vids)
-    # Warmup absorbs compile AND the remote backend's slow first execution;
-    # device_get is the only true sync on the axon tunnel (block_until_ready
-    # returns early there).
-    for _ in range(BENCH_CFG["warmup"]):
-        s, m = fn(s, v, None)
-    jax.device_get(m)
-    n = BENCH_CFG["steps"]
-    t0 = time.time()
-    for _ in range(n):
-        s, m = fn(s, v, None)
-    jax.device_get(m)
-    return n / (time.time() - t0)
+    return benchmarking.time_single_step(cfg, BENCH_CFG["steps"],
+                                         BENCH_CFG["warmup"])
 
 
 def tpu_scan_steps_per_sec(compute_dtype: str = "float32",
                            k: int = 16) -> float:
     """The PRODUCTION path: K steps per dispatch with the dataset resident
     in HBM (device cache) — on-device clip sampling, windowing, fused
-    Pallas ingest and the adversarial update all inside one scanned
-    program (the `mug` config's defaults: device_cache=True,
-    steps_per_call=16). Amortizes the per-dispatch tunnel latency the
-    single-step methodology above pays on every step."""
-    import jax
-    import numpy as np
-
+    Pallas 96->64 resize ingest and the adversarial update all inside one
+    scanned program (the `mug` config's defaults: device_cache=True,
+    steps_per_call=16, raw_size=96). Amortizes the per-dispatch tunnel
+    latency the single-step methodology above pays on every step."""
     from mocogan_tpu import get_config
-    from mocogan_tpu.parallel import mesh as pmesh
-    from mocogan_tpu.train import state as train_state
+    from mocogan_tpu.utils import benchmarking
 
     cfg = get_config("mug",
                      **{"train.batch_size": BENCH_CFG["batch_size"],
                         "model.compute_dtype": compute_dtype})
-    mesh = pmesh.make_mesh(1)
-    m = cfg.model
-    rng = np.random.default_rng(0)
-    pool = rng.integers(0, 256, (64, m.video_length + 8, m.image_size,
-                                 m.image_size, m.channels), dtype=np.uint8)
-    lengths = np.full((64,), m.video_length + 8, np.int32)
-    rep = pmesh.replicated(mesh)
-    pool_d, len_d = jax.device_put(pool, rep), jax.device_put(lengths, rep)
-    s = pmesh.shard_state(mesh, train_state.create(cfg))
-    fn = pmesh.make_cached_train_step(cfg, mesh, k)
-    s, metrics = fn(s, pool_d, len_d, None)
-    jax.device_get(metrics)
-    reps = 4
-    t0 = time.time()
-    for _ in range(reps):
-        s, metrics = fn(s, pool_d, len_d, None)
-    jax.device_get(metrics)
-    return k * reps / (time.time() - t0)
+    return benchmarking.time_cached_scan(cfg, k=k)
 
 
 def generate_clips_per_sec() -> float:

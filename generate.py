@@ -52,7 +52,10 @@ def main(argv=None):
 
     labels = (np.asarray(args.labels, np.int32)
               if args.labels is not None else None)
-    vids = generator.generate(
+    # generate_fast = jit-cached generate: identical fp32 program, but ONE
+    # dispatch instead of per-primitive eager round trips (multi-second
+    # each on remote-tunnel TPU backends).
+    vids = generator.generate_fast(
         state.params["gen"], state.bn["gen"], jax.random.key(args.seed),
         args.n, cfg.model,
         labels=None if labels is None else jax.numpy.asarray(labels),
@@ -70,7 +73,7 @@ def main(argv=None):
         print(f"[generate] wrote {len(paths)} individual clips")
     if args.mp4:
         mp4 = video_utils.save_mp4(video_utils.tile_videos(u8),
-                                   out.replace(".gif", ".mp4"))
+                                   os.path.splitext(out)[0] + ".mp4")
         print(f"[generate] mp4: {mp4 or 'no codec available'}")
     mngr.close()
 

@@ -124,7 +124,18 @@ def I3DFeatures(weights_path: str, *, features: str = "logits",
     """Real I3D features from user-supplied Kinetics weights (offline env:
     none are bundled, but the full inflated-Inception-v1 architecture is
     implemented and unit-tested — see eval/i3d.py for the documented npz
-    weight layout; loading validates every tensor's shape)."""
+    weight layout; loading validates every tensor's shape).
+
+    A weights file is REQUIRED here: a falsy path would silently produce
+    random-weight features labeled as absolute I3D-FVD. For relative
+    tracking without weights use RandomProjectionFeatures or
+    I3DExtractor(None, seed=...) explicitly."""
+    if not weights_path:
+        raise ValueError(
+            "I3DFeatures requires a weights npz path; absolute FVD from "
+            "random weights would be meaningless. Use "
+            "RandomProjectionFeatures() (or i3d.I3DExtractor(None)) for "
+            "relative-only comparisons.")
     from mocogan_tpu.eval.i3d import I3DExtractor
 
     return I3DExtractor(weights_path, features=features,

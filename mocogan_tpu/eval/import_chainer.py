@@ -415,13 +415,28 @@ def export_net_npz(npz_path: str, net: str, params: Dict[str, Any],
     np.savez(npz_path, **out)
 
 
+def _deep_merge(base: Dict[str, Any], new: Dict[str, Any]) -> Dict[str, Any]:
+    """Overlay imported tensors onto an existing pytree, keeping base
+    entries the import didn't provide (the strict=False contract: missing
+    tensors KEEP their randomly-initialized values — wholesale replacement
+    would leave holes that crash the first forward pass)."""
+    out = dict(base)
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def import_experiment(cfg: ExperimentConfig,
                       gen_npz: Optional[str] = None,
                       di_npz: Optional[str] = None,
                       dv_npz: Optional[str] = None,
                       rename: Optional[Dict[str, str]] = None,
                       strict: bool = True):
-    """Build a TrainState with any provided nets replaced by npz imports.
+    """Build a TrainState with any provided nets replaced by npz imports
+    (merged over random init when strict=False allows partial imports).
     Returns (state, {net: report})."""
     import jax
 
@@ -437,9 +452,11 @@ def import_experiment(cfg: ExperimentConfig,
         p, b, reports[net] = import_net_npz(path, net, cfg.model,
                                             rename=rename, strict=strict)
         if p:
-            params[net] = jax.tree.map(jax.numpy.asarray, p)
+            params[net] = _deep_merge(
+                params[net], jax.tree.map(jax.numpy.asarray, p))
         if b:
-            bn[net] = jax.tree.map(jax.numpy.asarray, b)
+            bn[net] = _deep_merge(bn[net],
+                                  jax.tree.map(jax.numpy.asarray, b))
     return state.replace(params=params, bn=bn), reports
 
 

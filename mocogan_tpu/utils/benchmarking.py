@@ -1,0 +1,80 @@
+"""Shared timing helpers for bench.py and scripts/measure_perf.py.
+
+One implementation for both so methodology fixes (warmup counts, sync
+discipline, pool geometry) can't silently diverge between the driver
+benchmark and the exploration tool.
+
+Timing discipline (see .claude/skills/verify): never read device scalars
+per step; a single `jax.device_get` after the timed loop is the only sync
+(execution is in-order, so it bounds all queued work).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def time_single_step(cfg, steps: int = 50, warmup: int = 6) -> float:
+    """Steps/sec of ONE adversarial step per dispatch (includes per-
+    dispatch host->device latency — the reference-comparable
+    methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mocogan_tpu.data import synthetic
+    from mocogan_tpu.train import state as train_state
+    from mocogan_tpu.train import step as train_step
+
+    s = train_state.create(cfg)
+    fn = train_step.jitted_train_step(cfg)
+    vids, _ = synthetic.make_batch(0, cfg.train.batch_size)
+    v = jnp.asarray(vids)
+    for _ in range(warmup):
+        s, m = fn(s, v, None)
+    jax.device_get(m)
+    t0 = time.time()
+    for _ in range(steps):
+        s, m = fn(s, v, None)
+    jax.device_get(m)
+    return steps / (time.time() - t0)
+
+
+def time_cached_scan(cfg, k: int = 16, reps: int = 4,
+                     n_clips: int = 64) -> float:
+    """Steps/sec of the PRODUCTION device-cache path: K steps per dispatch
+    with the dataset resident in HBM — on-device clip sampling, temporal
+    windowing, fused Pallas ingest and the adversarial update inside one
+    scanned program.
+
+    The synthetic pool is stored at cfg.data.raw_size (96 px for the mug
+    config), NOT at the training image_size: the fused resize must do the
+    real 96->64 bilinear work — a pool already at image_size would reduce
+    the Pallas resize to its identity-matrix special case and overstate
+    deployment throughput.
+    """
+    import jax
+
+    from mocogan_tpu.parallel import mesh as pmesh
+    from mocogan_tpu.train import state as train_state
+
+    m = cfg.model
+    raw = max(cfg.data.raw_size, m.image_size)
+    rng = np.random.default_rng(0)
+    pool = rng.integers(0, 256, (n_clips, m.video_length + 8, raw, raw,
+                                 m.channels), dtype=np.uint8)
+    lengths = np.full((n_clips,), m.video_length + 8, np.int32)
+    mesh = pmesh.make_mesh(1)
+    rep = pmesh.replicated(mesh)
+    pool_d = jax.device_put(pool, rep)
+    len_d = jax.device_put(lengths, rep)
+    s = pmesh.shard_state(mesh, train_state.create(cfg))
+    fn = pmesh.make_cached_train_step(cfg, mesh, k)
+    s, metrics = fn(s, pool_d, len_d, None)
+    jax.device_get(metrics)
+    t0 = time.time()
+    for _ in range(reps):
+        s, metrics = fn(s, pool_d, len_d, None)
+    jax.device_get(metrics)
+    return k * reps / (time.time() - t0)

@@ -103,3 +103,14 @@ def test_fvd_with_i3d_extractor(tmp_path):
     d_diff = fvd_mod.fvd(a, b, extractor=ex, batch_size=4)
     assert abs(d_same) < 1e-3
     assert d_diff > d_same + 1e-2
+
+
+def test_i3dfeatures_requires_weights_path():
+    """A falsy weights path must raise, not silently compute 'absolute'
+    FVD from random weights."""
+    from mocogan_tpu.eval import fvd as fvd_mod
+
+    with pytest.raises(ValueError, match="requires a weights npz"):
+        fvd_mod.I3DFeatures(None)
+    with pytest.raises(ValueError, match="requires a weights npz"):
+        fvd_mod.I3DFeatures("")

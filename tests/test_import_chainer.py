@@ -251,3 +251,42 @@ def test_import_rename_and_report(tmp_path, tiny_cfg):
         rename={"conv_first/W": "c0/W"}, strict=False)
     assert any(r["key"] == "fc/W" for r in report["shape_mismatch"])
     assert "c0/W" in report["matched"]
+
+
+def test_partial_import_merges_over_random_init(tmp_path, tiny_cfg):
+    """strict=False contract: tensors MISSING from the npz keep their
+    randomly-initialized values (merge, not wholesale subtree replace —
+    a replace leaves holes that crash the first forward)."""
+    from mocogan_tpu.models import generator
+    from mocogan_tpu.train import state as train_state
+
+    state = train_state.create(tiny_cfg)
+    full = str(tmp_path / "gen_full.npz")
+    imp.export_net_npz(full, "gen", jax.device_get(state.params["gen"]),
+                       jax.device_get(state.bn["gen"]), tiny_cfg.model)
+    raw = dict(np.load(full))
+    dropped = [k for k in raw if k.startswith("dc3/")]
+    assert dropped
+    for k in dropped:
+        del raw[k]
+    partial = str(tmp_path / "gen_partial.npz")
+    np.savez(partial, **raw)
+
+    with pytest.raises(ValueError, match="incomplete"):
+        imp.import_net_npz(partial, "gen", tiny_cfg.model)  # strict default
+
+    state2, reports = imp.import_experiment(tiny_cfg, gen_npz=partial,
+                                            strict=False)
+    assert reports["gen"]["missing"]
+    # the missing deconv keeps its random init; everything else matches
+    p0 = jax.device_get(state.params["gen"])
+    p2 = jax.device_get(state2.params["gen"])
+    assert jax.tree.structure(p0) == jax.tree.structure(p2)
+    np.testing.assert_array_equal(np.asarray(p0["deconv3"]["w"]),
+                                  np.asarray(p2["deconv3"]["w"]))
+    # and the imported state is actually usable end to end
+    v = jax.device_get(generator.generate(
+        jax.tree.map(jnp.asarray, p2),
+        jax.tree.map(jnp.asarray, jax.device_get(state2.bn["gen"])),
+        jax.random.key(0), 2, tiny_cfg.model))
+    assert np.isfinite(np.asarray(v)).all()

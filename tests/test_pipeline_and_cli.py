@@ -79,6 +79,13 @@ def test_parse_overrides():
     assert out["train.learning_rate"] == 1e-4
     assert out["data.dataset"] == "mug"
     assert out["train.num_devices"] is None
+    # lowercase keywords must parse as booleans/None, NOT fall through to
+    # truthy strings ("--set data.device_cache=false" silently enabling
+    # the flag was a real footgun)
+    out = train_cli.parse_overrides(
+        ["a=false", "b=true", "c=none", "d=False", "e=None"])
+    assert out["a"] is False and out["b"] is True and out["c"] is None
+    assert out["d"] is False and out["e"] is None
 
 
 def test_train_cli_subprocess(tmp_path):

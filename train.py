@@ -14,10 +14,20 @@ import argparse
 import ast
 
 
+_KEYWORDS = {"true": True, "false": False, "none": None,
+             "True": True, "False": False, "None": None}
+
+
 def parse_overrides(pairs):
     out = {}
     for p in pairs or []:
         k, _, v = p.partition("=")
+        if v in _KEYWORDS:
+            # lowercase true/false/none would fall through literal_eval to
+            # the string fallback — and the string "false" is TRUTHY, so
+            # `--set data.device_cache=false` would silently ENABLE it.
+            out[k] = _KEYWORDS[v]
+            continue
         try:
             out[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):
