@@ -78,6 +78,30 @@ def main() -> None:
     assert int(jax.device_get(state.step)) == 1
     assert all(np.isfinite(v) for v in metrics.values()), metrics
     print("METRICS " + json.dumps(metrics, sort_keys=True))
+
+    # Trainer-level multi-host input path: _put must slice the iterator's
+    # GLOBAL batch down to this process's shard (loop.py feeds
+    # local_batch_slice -> shard_batch). Each process gets its own out_dir;
+    # drive step_fn directly (no end-of-run Orbax finalization under gloo).
+    import dataclasses
+    import tempfile
+
+    from mocogan_tpu.train.loop import Trainer, make_data_iterator
+
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, dataset="synthetic"))
+    out = tempfile.mkdtemp(prefix=f"mh_trainer_p{jax.process_index()}_")
+    tr = Trainer(cfg, out_dir=out, resume=False)
+    it = make_data_iterator(cfg)
+    m2 = None
+    for _ in range(2):
+        vids2, _labels = next(it)
+        real2, lab2 = tr._put(np.asarray(vids2))
+        assert real2.shape[0] == cfg.train.batch_size  # global batch
+        tr.state, m2 = tr.step_fn(tr.state, real2, lab2)
+    m2 = {k: float(v) for k, v in jax.device_get(m2).items()}
+    assert all(np.isfinite(v) for v in m2.values()), m2
+    print("METRICS2 " + json.dumps(m2, sort_keys=True))
     jax.distributed.shutdown()
 
 

@@ -44,14 +44,15 @@ def test_two_process_distributed_train_step():
         assert p.returncode == 0, f"child failed:\n{out}\n{err[-4000:]}"
         outs.append(out)
 
-    metrics = []
-    for out in outs:
-        lines = [ln for ln in out.splitlines() if ln.startswith("METRICS ")]
-        assert lines, out
-        metrics.append(json.loads(lines[-1][len("METRICS "):]))
-    # psum-agreed losses: both processes must report the SAME numbers
-    assert metrics[0].keys() == metrics[1].keys()
-    for k in metrics[0]:
-        np.testing.assert_allclose(metrics[0][k], metrics[1][k], rtol=1e-5,
-                                   err_msg=k)
-        assert np.isfinite(metrics[0][k])
+    for tag in ("METRICS ", "METRICS2 "):
+        metrics = []
+        for out in outs:
+            lines = [ln for ln in out.splitlines() if ln.startswith(tag)]
+            assert lines, out
+            metrics.append(json.loads(lines[-1][len(tag):]))
+        # psum-agreed losses: both processes must report the SAME numbers
+        assert metrics[0].keys() == metrics[1].keys()
+        for k in metrics[0]:
+            np.testing.assert_allclose(metrics[0][k], metrics[1][k],
+                                       rtol=1e-5, err_msg=f"{tag}{k}")
+            assert np.isfinite(metrics[0][k])
