@@ -75,6 +75,15 @@ class TrainConfig:
     # Auxiliary categorical loss weight (InfoGAN-style, config 4).
     aux_loss_weight: float = 1.0
 
+    # Update-ordering semantics (SURVEY.md §3.2 [INFER]; VERDICT r2
+    # missing #2). "simultaneous": all three losses from one forward with
+    # start-of-iteration parameters (one joint backward — the default
+    # reading of the reference's update_core and the faster program).
+    # "sequential": the other plausible Chainer reading — D_I/D_V are
+    # updated FIRST, then G's loss is computed against the post-update
+    # discriminators. A/B on 10k synthetic steps: docs/results/order_ab.
+    update_order: str = "simultaneous"   # "simultaneous" | "sequential"
+
     # D/G balance levers — all default to the reference's plain alternating
     # scheme; turn on to stop late-training discriminator collapse (D loss
     # -> 0, softplus-saturated G) seen on long flagship runs.
@@ -84,14 +93,25 @@ class TrainConfig:
     d_learning_rate: Optional[float] = None   # TTUR-style per-side override
     g_learning_rate: Optional[float] = None
 
+    # Run each net's Adam update on ONE flattened contiguous vector
+    # (optax.flatten) instead of per-leaf kernels. The bf16 step is bounded
+    # by dependency bubbles across ~100 small kernels (docs/PERFORMANCE.md
+    # roofline), and three Adam updates over ~26 pytree leaves each are the
+    # largest kernel-count contributor — flattening collapses them to a
+    # handful of large HBM-bound kernels. Numerically identical (Adam is
+    # elementwise). Measured on-chip either way; see PERFORMANCE.md.
+    fused_adam: bool = True
+
     # Checkpoint / logging cadence (reference: snapshot + LogReport extensions).
     checkpoint_every: int = 2_000
     log_every: int = 100
     sample_every: int = 1_000
     keep_checkpoints: int = 3
     # Periodic FVD tracking (proxy extractor; relative metric). 0 = off.
+    # eval_clips >= 4x the extractor's feature dim (64) so the Fréchet
+    # covariance estimate is sample-dominated, not noise-dominated.
     eval_every: int = 0
-    eval_clips: int = 64
+    eval_clips: int = 256
 
     # Data parallelism over ICI (BASELINE B1): number of devices to shard
     # the batch over. None => use all visible devices.

@@ -126,12 +126,26 @@ class Trainer:
         from mocogan_tpu.eval import fvd as fvd_mod
 
         n = min(self.cfg.train.eval_clips, len(real_pool))
-        vids = generator.generate_fast(
-            self.state.params["gen"], self.state.bn["gen"], self._eval_key,
-            n, self.cfg.model)
+        # Generate in bounded chunks (one compiled program, folded keys):
+        # the sound default budget (256 clips >= 4x the 64-dim extractor)
+        # would otherwise materialize ~1 GB of fp32 video per eval at the
+        # scaled geometry in a single dispatch.
+        chunk = min(n, 64)
+        vids = []
+        for i in range(0, n // chunk):
+            vids.append(np.asarray(jax.device_get(generator.generate_fast(
+                self.state.params["gen"], self.state.bn["gen"],
+                jax.random.fold_in(self._eval_key, i), chunk,
+                self.cfg.model))))
+        rem = n - chunk * (n // chunk)
+        if rem:
+            vids.append(np.asarray(jax.device_get(generator.generate_fast(
+                self.state.params["gen"], self.state.bn["gen"],
+                jax.random.fold_in(self._eval_key, n // chunk), rem,
+                self.cfg.model))))
         if self._fvd_extractor is None:
             self._fvd_extractor = fvd_mod.RandomProjectionFeatures()
-        return fvd_mod.fvd(np.asarray(jax.device_get(vids)), real_pool[:n],
+        return fvd_mod.fvd(np.concatenate(vids), real_pool[:n],
                            extractor=self._fvd_extractor)
 
     def save_samples(self, step: int, n: int = 16) -> str:

@@ -34,7 +34,14 @@ def make_optimizer(cfg: ExperimentConfig,
         lr = t.g_learning_rate if t.g_learning_rate is not None else lr
     else:
         lr = t.d_learning_rate if t.d_learning_rate is not None else lr
-    return optax.adam(lr, b1=t.beta1, b2=t.beta2)
+    tx = optax.adam(lr, b1=t.beta1, b2=t.beta2)
+    if t.fused_adam:
+        # One contiguous moment/update vector per net: collapses the
+        # per-leaf Adam kernels (the largest kernel-count contributor in
+        # the bubble-bound bf16 step) into a handful of large ones.
+        # Elementwise math -> numerically identical update.
+        tx = optax.flatten(tx)
+    return tx
 
 
 @flax.struct.dataclass

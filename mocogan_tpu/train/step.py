@@ -6,8 +6,16 @@ Reference scheme per iteration (Chainer, define-by-run):
   2. D_I loss on S_1-sampled real vs (detached) fake frames -> update D_I,
   3. D_V loss on real clip vs (detached) fake clip         -> update D_V,
   4. G loss = fool both discriminators on the SAME fakes    -> update G.
-All three losses are computed from one generator forward and every update
-uses start-of-iteration parameters — i.e. simultaneous updates.
+
+With the reference mount empty, whether step 4's forward sees start-of-
+iteration or already-updated discriminator parameters is [INFER]
+(SURVEY.md §3.2): Chainer's three sequential opt.update() calls admit both
+readings. BOTH are implemented — train.update_order selects
+"simultaneous" (default: one joint backward, every update from start-of-
+iteration params) or "sequential" (D updates first, G's loss against the
+post-update Ds; `_sequential_train_step`). The D updates are identical in
+the two modes by construction; a 10k-step A/B of the G dynamics is
+committed at docs/results/order_ab.
 
 TPU-native design — one forward, ONE joint backward:
   total = L_DI(theta_DI, sg(fake)) + L_DV(theta_DV, sg(fake))
@@ -122,10 +130,37 @@ def _loss_fn(params: Dict[str, Any], bn: Dict[str, Any], real: jax.Array,
     return total, (new_bn, metrics)
 
 
+def _update_net(name: str, params, opt_state, grads, cfg: ExperimentConfig,
+                step: jax.Array):
+    """Apply one net's Adam update (with the every-k balance lever).
+
+    On skipped steps params AND optimizer moments stay untouched via
+    lax.cond (a zeroed-gradient update would still decay m/v — not a true
+    skip) while remaining ONE compiled program."""
+    tx = make_optimizer(cfg, name)
+    every = (cfg.train.g_update_every if name == "gen"
+             else cfg.train.d_update_every)
+    if every > 1:
+        updates, new_opt = jax.lax.cond(
+            step % every == 0,
+            lambda g, o, p, t=tx: t.update(g, o, p),
+            lambda g, o, p: (jax.tree.map(jnp.zeros_like, g), o),
+            grads, opt_state, params)
+    else:
+        updates, new_opt = tx.update(grads, opt_state, params)
+    return jax.tree.map(lambda p, u: p + u, params, updates), new_opt
+
+
 def train_step(state: TrainState, real: jax.Array,
                labels: Optional[jax.Array],
                cfg: ExperimentConfig) -> Tuple[TrainState, Dict[str, Any]]:
     """One adversarial iteration. real: (B,T,H,W,C) in [-1,1]."""
+    order = cfg.train.update_order
+    if order == "sequential":
+        return _sequential_train_step(state, real, labels, cfg)
+    if order != "simultaneous":
+        raise ValueError(f"train.update_order must be 'simultaneous' or "
+                         f"'sequential', got {order!r}")
     key = prng.step_key(state.root_key, state.step)
     grads, (new_bn, metrics) = jax.grad(_loss_fn, has_aux=True)(
         state.params, state.bn, real, labels, key, cfg)
@@ -133,26 +168,115 @@ def train_step(state: TrainState, real: jax.Array,
     new_params: Dict[str, Any] = {}
     new_opt: Dict[str, Any] = {}
     for name in state.params:
-        tx = make_optimizer(cfg, name)
-        every = (cfg.train.g_update_every if name == "gen"
-                 else cfg.train.d_update_every)
-        if every > 1:
-            # Balance lever: apply this net's Adam update only every k-th
-            # step. lax.cond keeps it ONE program; on skipped steps params
-            # AND optimizer moments stay untouched (a zeroed-gradient
-            # update would still decay m/v — not a true skip).
-            updates, new_opt[name] = jax.lax.cond(
-                state.step % every == 0,
-                lambda g, o, p, t=tx: t.update(g, o, p),
-                lambda g, o, p: (jax.tree.map(jnp.zeros_like, g), o),
-                grads[name], state.opt[name], state.params[name])
-        else:
-            updates, new_opt[name] = tx.update(grads[name], state.opt[name],
-                                               state.params[name])
-        new_params[name] = jax.tree.map(lambda p, u: p + u,
-                                        state.params[name], updates)
+        new_params[name], new_opt[name] = _update_net(
+            name, state.params[name], state.opt[name], grads[name], cfg,
+            state.step)
     return state.replace(step=state.step + 1, params=new_params,
                          bn=new_bn, opt=new_opt), metrics
+
+
+def _sequential_train_step(state: TrainState, real: jax.Array,
+                           labels: Optional[jax.Array],
+                           cfg: ExperimentConfig
+                           ) -> Tuple[TrainState, Dict[str, Any]]:
+    """The OTHER plausible reading of the reference's update_core: Chainer
+    calls opt_di.update, opt_dv.update, opt_gen.update sequentially, so if
+    G's loss forward runs AFTER the D updates, G trains against the
+    post-update discriminators. Opt-in via train.update_order="sequential".
+
+    Identities vs the simultaneous step (tested): the D gradients are
+    computed from the same start-of-iteration parameters and the same fake
+    batch (same PRNG key), so D_I/D_V take EXACTLY the same update in both
+    modes; only G's update differs. The generator forward runs twice (same
+    key -> bitwise-identical fakes); its BatchNorm running stats advance
+    once, from the G-phase forward, and the Ds' running stats advance from
+    the D-phase forwards (the G-phase D applies don't touch them) — the
+    same convention the simultaneous step uses.
+    """
+    m = cfg.model
+    t = cfg.train
+    key = prng.step_key(state.root_key, state.step)
+    batch = real.shape[0]
+    dtype = jnp.dtype(m.compute_dtype)
+    if real.dtype != dtype:
+        real = real.astype(dtype)
+    k_real = prng.role_key(key, "frame_sample")
+    k_fake = jax.random.fold_in(k_real, 1)
+
+    # ---- phase 1: D losses on detached fakes; update D_I, D_V ----
+    def d_loss_fn(d_params, gen_params, bn):
+        fake, _, fake_labels = generator.sample_videos(
+            gen_params, bn["gen"], key, batch, m, train=True)
+        fake = _sg(fake)
+        new_bn: Dict[str, Any] = {}
+        metrics: Dict[str, jax.Array] = {}
+        real_frame = sampling.sample_frames(k_real, real)
+        fake_frame = sampling.sample_frames(k_fake, fake)
+        di_real, st = discriminators.image_apply(
+            d_params["di"], bn["di"], real_frame, m, train=True)
+        di_fake, st = discriminators.image_apply(
+            d_params["di"], st, fake_frame, m, train=True)
+        new_bn["di"] = st
+        loss_di = losses.d_loss(di_real, di_fake,
+                                label_smoothing=t.label_smoothing)
+        metrics["loss_di"] = loss_di
+        loss_dv = jnp.zeros((), jnp.float32)
+        if m.use_video_discriminator:
+            dv_real, cls_real, st = discriminators.video_apply(
+                d_params["dv"], bn["dv"], real, m, train=True)
+            dv_fake, cls_fake_d, st = discriminators.video_apply(
+                d_params["dv"], st, fake, m, train=True)
+            new_bn["dv"] = st
+            loss_dv = losses.d_loss(dv_real, dv_fake,
+                                    label_smoothing=t.label_smoothing)
+            if m.conditional:
+                aux_d = losses.categorical_loss(cls_real, labels)
+                aux_d = aux_d + losses.categorical_loss(cls_fake_d,
+                                                        fake_labels)
+                loss_dv = loss_dv + t.aux_loss_weight * aux_d
+                metrics["loss_aux_d"] = aux_d
+            metrics["loss_dv"] = loss_dv
+        return loss_di + loss_dv, (new_bn, metrics)
+
+    d_params = {k: v for k, v in state.params.items() if k != "gen"}
+    d_grads, (bn_d, d_metrics) = jax.grad(d_loss_fn, has_aux=True)(
+        d_params, state.params["gen"], state.bn)
+
+    new_params: Dict[str, Any] = {}
+    new_opt: Dict[str, Any] = dict(state.opt)
+    for name, g in d_grads.items():
+        new_params[name], new_opt[name] = _update_net(
+            name, state.params[name], state.opt[name], g, cfg, state.step)
+
+    # ---- phase 2: G loss against the UPDATED discriminators ----
+    def g_loss_fn(gen_params):
+        fake, bn_gen, fake_labels = generator.sample_videos(
+            gen_params, state.bn["gen"], key, batch, m, train=True)
+        fake_frame = sampling.sample_frames(k_fake, fake)
+        metrics: Dict[str, jax.Array] = {}
+        g_di, _ = discriminators.image_apply(
+            new_params["di"], bn_d["di"], fake_frame, m, train=True)
+        loss_g = losses.g_loss(g_di)
+        if m.use_video_discriminator:
+            g_dv, cls_fake, _ = discriminators.video_apply(
+                new_params["dv"], bn_d["dv"], fake, m, train=True)
+            loss_g = loss_g + losses.g_loss(g_dv)
+            if m.conditional:
+                aux_g = losses.categorical_loss(cls_fake, fake_labels)
+                loss_g = loss_g + t.aux_loss_weight * aux_g
+                metrics["loss_aux_g"] = aux_g
+        metrics["loss_gen"] = loss_g
+        return loss_g, (bn_gen, metrics)
+
+    g_grads, (bn_gen, g_metrics) = jax.grad(g_loss_fn, has_aux=True)(
+        state.params["gen"])
+    new_params["gen"], new_opt["gen"] = _update_net(
+        "gen", state.params["gen"], state.opt["gen"], g_grads, cfg,
+        state.step)
+    new_bn = dict(bn_d)
+    new_bn["gen"] = bn_gen
+    return state.replace(step=state.step + 1, params=new_params,
+                         bn=new_bn, opt=new_opt), {**d_metrics, **g_metrics}
 
 
 def jitted_train_step(cfg: ExperimentConfig):
@@ -233,19 +357,12 @@ def cached_multi_train_step(state: TrainState, pool: jax.Array,
 
     b = cfg.train.batch_size
     t = cfg.model.video_length
-    n = pool.shape[0]
 
     def body(s, _):
-        key = prng.step_key(s.root_key, s.step)
-        dkey = prng.role_key(key, "data")
-        k1, k2 = jax.random.split(dkey)
-        if cfg.data.epoch_shuffle:
-            sel = sampling.epoch_shuffle_select(
-                prng.role_key(s.root_key, "epoch"), s.step, b, n)
-        else:
-            sel = jax.random.randint(k1, (b,), 0, n)
-        max_start = jnp.maximum(jnp.take(lengths, sel) - t + 1, 1)
-        starts = jax.random.randint(k2, (b,), 0, 1 << 30) % max_start
+        # ONE selection stream shared with the host-fed iterator
+        # (sampling.batch_plan; clips.py evaluates the same program on CPU)
+        sel, starts = sampling.batch_plan(s.root_key, s.step, b, lengths, t,
+                                          cfg.data.epoch_shuffle)
         windows = sampling.gather_windows(pool, lengths, sel, starts, t)
         if batch_sharding is not None:
             # pool is replicated; pin the sampled batch to the data mesh so

@@ -7,25 +7,36 @@ benchmark and the exploration tool.
 Timing discipline (see .claude/skills/verify): never read device scalars
 per step; a single `jax.device_get` after the timed loop is the only sync
 (execution is in-order, so it bounds all queued work).
+
+Statistics (VERDICT r2 weak #3): every timer reports BOTH median and best
+over its windows. The remote-tunnel backend occasionally injects
+multi-second stalls into a window that are session noise, not step cost
+(observed: 64 vs 83 steps/s for the identical program back-to-back), which
+is why best-of-N exists; median-of-N is the honest central tendency. The
+driver headline uses best (comparable to rounds 1-2); the JSON carries
+both so the artifact documents the variance.
 """
 
 from __future__ import annotations
 
 import time
+from typing import Dict, List
 
 import numpy as np
 
 
-def time_single_step(cfg, steps: int = 50, warmup: int = 6,
-                     windows: int = 3) -> float:
-    """Steps/sec of ONE adversarial step per dispatch (includes per-
-    dispatch host->device latency — the reference-comparable
-    methodology).
+def _stats(rates: List[float]) -> Dict[str, float]:
+    return {"best": float(max(rates)),
+            "median": float(np.median(rates)),
+            "windows": [round(r, 2) for r in rates]}
 
-    Times `windows` back-to-back windows of `steps` and reports the BEST:
-    the first timed window of a fresh process occasionally absorbs
-    multi-second remote-tunnel stalls that are session noise, not step
-    cost (observed: 64 vs 83 steps/s for the identical program)."""
+
+def time_single_step(cfg, steps: int = 50, warmup: int = 6,
+                     windows: int = 3) -> Dict[str, float]:
+    """Steps/sec of ONE adversarial step per dispatch (includes per-
+    dispatch host->device latency — the reference-comparable methodology).
+    Returns {"best", "median", "windows"} over `windows` back-to-back
+    timed windows of `steps`."""
     import jax
     import jax.numpy as jnp
 
@@ -40,22 +51,23 @@ def time_single_step(cfg, steps: int = 50, warmup: int = 6,
     for _ in range(warmup):
         s, m = fn(s, v, None)
     jax.device_get(m)
-    best = 0.0
+    rates = []
     for _ in range(max(1, windows)):
         t0 = time.time()
         for _ in range(steps):
             s, m = fn(s, v, None)
         jax.device_get(m)
-        best = max(best, steps / (time.time() - t0))
-    return best
+        rates.append(steps / (time.time() - t0))
+    return _stats(rates)
 
 
 def time_cached_scan(cfg, k: int = 16, reps: int = 4,
-                     n_clips: int = 64) -> float:
+                     n_clips: int = 64, windows: int = 2
+                     ) -> Dict[str, float]:
     """Steps/sec of the PRODUCTION device-cache path: K steps per dispatch
     with the dataset resident in HBM — on-device clip sampling, temporal
     windowing, fused Pallas ingest and the adversarial update inside one
-    scanned program.
+    scanned program. Returns {"best", "median", "windows"}.
 
     The synthetic pool is stored at cfg.data.raw_size (96 px for the mug
     config), NOT at the training image_size: the fused resize must do the
@@ -85,13 +97,40 @@ def time_cached_scan(cfg, k: int = 16, reps: int = 4,
     # Each window queues `reps` dispatches WITHOUT intermediate syncs —
     # the Trainer never syncs per dispatch either (async dispatch overlaps
     # the next call), so a per-dispatch device_get would understate the
-    # production rate. Best window wins (session-noise rationale as in
-    # time_single_step).
-    best = 0.0
-    for _ in range(2):
+    # production rate.
+    rates = []
+    for _ in range(max(1, windows)):
         t0 = time.time()
         for _ in range(max(1, reps)):
             s, metrics = fn(s, pool_d, len_d, None)
         jax.device_get(metrics)
-        best = max(best, k * max(1, reps) / (time.time() - t0))
-    return best
+        rates.append(k * max(1, reps) / (time.time() - t0))
+    return _stats(rates)
+
+
+def time_generate(cfg, n_clips: int, reps: int = 10,
+                  windows: int = 3) -> Dict[str, float]:
+    """Inference clips/sec at `n_clips` clips per dispatch (R9 serving
+    metric). Returns {"best", "median", "windows"} — the dispatch-size
+    sweep in bench.py documents how tunnel latency amortizes with batch."""
+    import jax
+
+    from mocogan_tpu.models import generator
+    from mocogan_tpu.train import state as train_state
+
+    s = train_state.create(cfg)
+
+    def gen(key):
+        return generator.generate_fast(s.params["gen"], s.bn["gen"], key,
+                                       n_clips, cfg.model)
+
+    out = gen(jax.random.key(0))
+    jax.device_get(out[0, 0, 0, 0, :1])
+    rates = []
+    for w in range(max(1, windows)):
+        t0 = time.time()
+        for i in range(reps):
+            out = gen(jax.random.key(w * reps + i + 1))
+        jax.device_get(out[0, 0, 0, 0, :1])
+        rates.append(n_clips * reps / (time.time() - t0))
+    return _stats(rates)

@@ -55,12 +55,14 @@ def main() -> None:
             scan = benchmarking.time_cached_scan(cfg, k=args.scan_k,
                                                  reps=args.reps)
             results[f"{dtype}_b{b}"] = {
-                "single_steps_per_sec": round(single, 2),
-                "scan_steps_per_sec": round(scan, 2),
-                "scan_clips_per_sec": round(scan * b, 1)}
-            print(f"[{dtype} b={b}] single={single:.2f} "
-                  f"scan{args.scan_k}={scan:.2f} steps/s "
-                  f"({scan * b:.0f} clips/s)", flush=True)
+                "single_steps_per_sec": single,
+                "scan_steps_per_sec": scan,
+                "scan_clips_per_sec": round(scan["best"] * b, 1)}
+            print(f"[{dtype} b={b}] single={single['best']:.2f} "
+                  f"(med {single['median']:.2f}) "
+                  f"scan{args.scan_k}={scan['best']:.2f} "
+                  f"(med {scan['median']:.2f}) steps/s "
+                  f"({scan['best'] * b:.0f} clips/s)", flush=True)
     print(json.dumps(results, indent=2))
 
 

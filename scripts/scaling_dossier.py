@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Multi-chip scaling dossier data collection (VERDICT r2 missing #3).
+
+Real multi-chip hardware does not exist in this environment (one v5e chip
+behind a tunnel), so the dossier separates what CAN be measured here from
+what must be projected:
+
+  1. WEAK SCALING on the 8-virtual-device CPU mesh: step time for
+     n = 1, 2, 4, 8 devices at fixed PER-DEVICE batch. All virtual devices
+     share one physical core, so this measures GSPMD partitioning overhead
+     and program correctness, NOT parallel speedup — the numbers document
+     that the sharded program's work scales as expected (time ~ n on one
+     core => per-device work is constant).
+  2. COLLECTIVE TRAFFIC accounting: parse the optimized HLO of the REAL
+     flagship and scaled programs sharded over 8 devices and sum the bytes
+     of every collective instruction (all-reduce/all-gather/...); compare
+     against the analytic expectation (ring all-reduce of the three nets'
+     fp32 gradients: 2*(n-1)/n * 4B * n_params).
+  3. The v5e-8 projection itself lives in docs/SCALING.md, computed from
+     these numbers + the measured single-chip step times.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python scripts/scaling_dossier.py [--out docs/results/scaling]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mocogan_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
+
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8, "u64": 8}
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Bytes of one HLO shape string 'f32[a,b]' or a tuple thereof."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collective_bytes(hlo_text: str) -> dict:
+    """Sum output bytes of every collective in an optimized HLO module."""
+    out = {}
+    for line in hlo_text.splitlines():
+        line = line.strip()
+        m = re.match(r"(?:ROOT )?\S+ = (\S+) (all-reduce|all-gather|"
+                     r"reduce-scatter|collective-permute|all-to-all)"
+                     r"(?:-start)?\(", line)
+        if not m:
+            continue
+        shape, op = m.group(1), m.group(2)
+        out[op] = out.get(op, 0) + _shape_bytes(shape)
+    return out
+
+
+def _flat_params(state) -> int:
+    import jax
+
+    return sum(int(x.size) for x in jax.tree.leaves(state.params))
+
+
+def weak_scaling(per_device_batch: int = 2, steps: int = 5) -> dict:
+    """Step time at n = 1,2,4,8 devices, per-device batch fixed, tiny
+    model (one shared physical core: expect time ~ n)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mocogan_tpu import get_config
+    from mocogan_tpu.data import synthetic
+    from mocogan_tpu.parallel import mesh as pmesh
+    from mocogan_tpu.train import state as train_state
+
+    results = {}
+    for n in (1, 2, 4, 8):
+        if n > len(jax.devices()):
+            break
+        b = per_device_batch * n
+        cfg = get_config("mug", **{
+            "model.image_size": 32, "model.video_length": 8,
+            "model.gen_features": 8, "model.disc_features": 8,
+            "train.batch_size": b, "train.num_devices": n})
+        mesh = pmesh.make_mesh(n)
+        state = pmesh.shard_state(mesh, train_state.create(cfg))
+        fn = pmesh.make_sharded_train_step(cfg, mesh)
+        vids, _ = synthetic.make_batch(0, b, t=8, size=32)
+        real = pmesh.shard_batch(mesh, jnp.asarray(vids))
+        state, m = fn(state, real, None)
+        jax.device_get(m)
+        t0 = time.time()
+        for _ in range(steps):
+            state, m = fn(state, real, None)
+        jax.device_get(m)
+        dt = (time.time() - t0) / steps
+        results[str(n)] = {"per_device_batch": per_device_batch,
+                           "global_batch": b,
+                           "step_ms": round(dt * 1e3, 1)}
+        print(f"[weak-scaling] n={n} global_b={b}: {dt * 1e3:.1f} ms/step",
+              flush=True)
+    return results
+
+
+def traffic_accounting(config_name: str, n: int = 8) -> dict:
+    """Compile the REAL config's sharded host-fed step over n devices and
+    account collective bytes from the optimized HLO."""
+    import jax
+    import jax.numpy as jnp
+
+    from mocogan_tpu import get_config
+    from mocogan_tpu.parallel import mesh as pmesh
+    from mocogan_tpu.train import state as train_state
+    from mocogan_tpu.train.step import train_step
+
+    cfg = get_config(config_name)
+    b = cfg.train.batch_size
+    mesh = pmesh.make_mesh(n)
+    state = train_state.create(cfg)
+    n_params = _flat_params(state)
+    state = pmesh.shard_state(mesh, state)
+    rep = pmesh.replicated(mesh)
+    bsh = pmesh.batch_sharding(mesh)
+    m = cfg.model
+
+    def step_fn(s, real, labels):
+        return train_step(s, real, labels, cfg)
+
+    real = jax.ShapeDtypeStruct(
+        (b, m.video_length, m.image_size, m.image_size, m.channels),
+        jnp.float32, sharding=bsh)
+    lab = (jax.ShapeDtypeStruct((b,), jnp.int32, sharding=bsh)
+           if m.conditional else None)
+    lowered = jax.jit(
+        step_fn, in_shardings=(rep, bsh, bsh if m.conditional else None),
+        out_shardings=(rep, rep)).lower(state, real, lab)
+    t0 = time.time()
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    coll = collective_bytes(hlo)
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    analytic = int(2 * (n - 1) / n * 4 * n_params)
+    return {
+        "config": config_name,
+        "n_devices": n,
+        "param_count": n_params,
+        "collective_bytes_per_step": coll,
+        "collective_bytes_total": int(sum(coll.values())),
+        "analytic_ring_allreduce_bytes": analytic,
+        "compile_seconds": round(time.time() - t0, 1),
+        "cost_analysis": {k: float(cost.get(k, 0.0))
+                          for k in ("flops", "bytes accessed")},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/results/scaling")
+    ap.add_argument("--skip-weak", action="store_true")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    out = {}
+    if not args.skip_weak:
+        out["weak_scaling_cpu_mesh"] = weak_scaling()
+    for name in ("mug", "scaled"):
+        print(f"[traffic] compiling sharded {name} step ...", flush=True)
+        out[f"traffic_{name}"] = traffic_accounting(name)
+        print(json.dumps(out[f"traffic_{name}"], indent=2), flush=True)
+    path = os.path.join(args.out, "dossier.json")
+    json.dump(out, open(path, "w"), indent=2)
+    print(f"[scaling_dossier] wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

