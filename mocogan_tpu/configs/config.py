@@ -94,13 +94,15 @@ class TrainConfig:
     g_learning_rate: Optional[float] = None
 
     # Run each net's Adam update on ONE flattened contiguous vector
-    # (optax.flatten) instead of per-leaf kernels. The bf16 step is bounded
-    # by dependency bubbles across ~100 small kernels (docs/PERFORMANCE.md
-    # roofline), and three Adam updates over ~26 pytree leaves each are the
-    # largest kernel-count contributor — flattening collapses them to a
-    # handful of large HBM-bound kernels. Numerically identical (Adam is
-    # elementwise). Measured on-chip either way; see PERFORMANCE.md.
-    fused_adam: bool = True
+    # (optax.flatten) instead of per-leaf kernels. Numerically identical
+    # (Adam is elementwise; equality verified exactly). MEASURED SLOWER on
+    # the v5e chip in every cell — e.g. bf16 single-dispatch 81.7 vs 91.0
+    # steps/s, production scan16 bf16 88.0 vs 94.8 — because ravel_pytree
+    # adds two full param-size gather/scatter copies per net per step,
+    # which cost more HBM traffic than the kernel-count reduction saves
+    # (docs/PERFORMANCE.md, rejected optimization #3). Default OFF; kept
+    # as a flag so the measurement is reproducible.
+    fused_adam: bool = False
 
     # Checkpoint / logging cadence (reference: snapshot + LogReport extensions).
     checkpoint_every: int = 2_000

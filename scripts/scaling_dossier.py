@@ -59,17 +59,25 @@ def _shape_bytes(shape_str: str) -> int:
 
 
 def collective_bytes(hlo_text: str) -> dict:
-    """Sum output bytes of every collective in an optimized HLO module."""
+    """Sum output bytes of every collective in an optimized HLO module.
+
+    Handles tuple-shaped collectives (XLA batches many gradient tensors
+    into one `(f32[...], f32[...], ...) all-reduce(...)`): everything
+    between `=` and the op keyword is the output shape; sum its parts."""
     out = {}
+    ops = ("all-reduce", "all-gather", "reduce-scatter",
+           "collective-permute", "all-to-all")
     for line in hlo_text.splitlines():
         line = line.strip()
-        m = re.match(r"(?:ROOT )?\S+ = (\S+) (all-reduce|all-gather|"
-                     r"reduce-scatter|collective-permute|all-to-all)"
-                     r"(?:-start)?\(", line)
-        if not m:
+        if "=" not in line:
             continue
-        shape, op = m.group(1), m.group(2)
-        out[op] = out.get(op, 0) + _shape_bytes(shape)
+        rhs = line.split("=", 1)[1]
+        for op in ops:
+            m = re.match(r"\s*(.+?)\s+" + re.escape(op) + r"(?:-start)?\(",
+                         rhs)
+            if m:
+                out[op] = out.get(op, 0) + _shape_bytes(m.group(1))
+                break
     return out
 
 

@@ -88,7 +88,10 @@ def main(argv=None):
         return make_data_iterator(cfg, start_batch=start)
 
     def run(total_steps=None):
-        if cfg.data.device_cache:
+        # device_cache needs an on-disk clip store; the synthetic dataset
+        # is generated per batch on the host, so route it host-fed rather
+        # than crash on load_pool("").
+        if cfg.data.device_cache and cfg.data.dataset != "synthetic":
             return trainer.run_device_cached(total_steps)
         return trainer.run(data_iter(), total_steps)
 
