@@ -29,6 +29,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
@@ -161,11 +162,25 @@ def verify_pallas_on_device() -> bool:
 def main():
     extra = {}
     # On-device kernel correctness first: fail loudly before any timing.
-    try:
-        extra["pallas_verified_on_device"] = verify_pallas_on_device()
-    except Exception:
-        raise
+    extra["pallas_verified_on_device"] = verify_pallas_on_device()
     train = tpu_train_stats()
+    # Degraded-tunnel detection: the remote backend occasionally enters
+    # multi-minute windows where EVERY dispatch is ~20x slow (observed
+    # 3.7 vs 84 steps/s for the identical program, recovering by itself).
+    # A healthy chip runs this step at 80+ steps/s; < 20 means the session
+    # is degraded, not the program. Wait and re-measure once so a one-shot
+    # driver capture can't silently record a degraded window as a 22x
+    # regression; if it persists, flag it in the artifact.
+    if train["best"] < 20.0:
+        print(f"[bench] degraded tunnel window suspected "
+              f"({train['best']:.2f} steps/s); retrying in 120s",
+              file=sys.stderr)
+        time.sleep(120)
+        retry = tpu_train_stats()
+        extra["degraded_window_first_attempt"] = train["windows"]
+        if retry["best"] > train["best"]:
+            train = retry
+        extra["degraded_window_persisted"] = train["best"] < 20.0
     extra["train_steps_per_sec_median"] = round(train["median"], 2)
     extra["train_windows"] = train["windows"]
     # bf16 variant reported by default (BENCH_BF16=0 skips it).

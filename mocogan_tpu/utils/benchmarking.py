@@ -46,7 +46,10 @@ def time_single_step(cfg, steps: int = 50, warmup: int = 6,
 
     s = train_state.create(cfg)
     fn = train_step.jitted_train_step(cfg)
-    vids, _ = synthetic.make_batch(0, cfg.train.batch_size)
+    m = cfg.model
+    vids, _ = synthetic.make_batch(0, cfg.train.batch_size,
+                                   t=m.video_length, size=m.image_size,
+                                   channels=m.channels)
     v = jnp.asarray(vids)
     for _ in range(warmup):
         s, m = fn(s, v, None)
