@@ -4,9 +4,13 @@ trained checkpoint's samples and a real clip store (or between two runs).
 
     python eval_fvd.py --config mug --run-dir runs/mug --data-dir data/mug
     python eval_fvd.py --config mug --run-dir runs/a --run-dir-b runs/b
+    python eval_fvd.py --config mug --run-dir runs/mug --data-dir data/mug \
+        --i3d-weights i3d.npz        # ABSOLUTE I3D-FVD
 
-Uses the fixed-seed random-projection extractor (relative metric; absolute
-I3D-FVD needs pretrained weights — see mocogan_tpu/eval/fvd.py).
+Default extractor is the fixed-seed random-projection net (relative
+metric). For absolute FVD, convert the public kinetics-i3d checkpoint
+once (python -m mocogan_tpu.eval.i3d_convert --ckpt <dir> --out i3d.npz)
+and pass --i3d-weights.
 """
 
 from __future__ import annotations
@@ -70,6 +74,15 @@ def main(argv=None):
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--i3d-weights", default=None,
+                    help="npz in the eval/i3d.py contract (convert the "
+                         "public kinetics-i3d checkpoint with "
+                         "python -m mocogan_tpu.eval.i3d_convert): "
+                         "computes ABSOLUTE I3D-FVD instead of the "
+                         "random-projection proxy")
+    ap.add_argument("--features", default="logits",
+                    choices=["logits", "pool"],
+                    help="I3D feature head (TF-GAN FVD uses logits)")
     ap.add_argument("--set", nargs="*", metavar="K=V", dest="overrides")
     args = ap.parse_args(argv)
 
@@ -93,10 +106,16 @@ def main(argv=None):
     else:
         raise SystemExit("need --data-dir or --run-dir-b")
 
-    score = fvd_mod.fvd(gen_a, other)
-    print(json.dumps({"fvd_proxy": round(score, 4), "n": args.n,
-                      "comparison": desc,
-                      "extractor": "random_projection_seed0"}))
+    if args.i3d_weights:
+        extractor = fvd_mod.I3DFeatures(args.i3d_weights,
+                                        features=args.features)
+        name, key = f"i3d_{args.features}", "fvd"
+    else:
+        extractor = None   # fvd() defaults to the random-projection proxy
+        name, key = "random_projection_seed0", "fvd_proxy"
+    score = fvd_mod.fvd(gen_a, other, extractor=extractor)
+    print(json.dumps({key: round(score, 4), "n": args.n,
+                      "comparison": desc, "extractor": name}))
 
 
 if __name__ == "__main__":

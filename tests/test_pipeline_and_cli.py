@@ -109,6 +109,73 @@ def test_train_cli_subprocess(tmp_path):
     assert "[step 2/2]" in out.stdout
 
 
+def test_train_cli_synthetic_routes_host_fed(tmp_path):
+    """A device_cache config with dataset=synthetic must route host-fed
+    (synthetic has no on-disk store for load_pool) instead of crashing."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "train.py", "--config", "mug",
+         "--total-steps", "2", "--batch-size", "2", "--out-dir",
+         str(tmp_path), "--set", "data.dataset=synthetic",
+         "model.gen_features=8", "model.disc_features=8",
+         "model.image_size=32", "model.video_length=4",
+         "train.steps_per_call=1", "train.log_every=2",
+         "train.sample_every=1000", "train.checkpoint_every=1000",
+         "train.num_devices=1"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[step 2/2]" in out.stdout
+
+
+def test_eval_fvd_cli_i3d_weights(tmp_path, tiny_cfg):
+    """eval_fvd.py --i3d-weights: the absolute-FVD surface end to end with
+    a (random-weight) npz in the documented contract."""
+    import json
+    import sys
+
+    import jax
+    import numpy as np
+
+    import eval_fvd
+    from mocogan_tpu.eval import i3d
+    from mocogan_tpu.train import state as train_state
+    from mocogan_tpu.utils.checkpoint import CheckpointManager
+
+    run_dir = tmp_path / "run"
+    mngr = CheckpointManager(str(run_dir / "checkpoints"))
+    mngr.save(train_state.create(tiny_cfg), wait=True)
+    mngr.close()
+    np.savez(str(tmp_path / "w.npz"), **i3d.init_random(jax.random.key(0)))
+
+    data_dir = tmp_path / "clips"
+    data_dir.mkdir()
+    for i in range(3):
+        np.save(data_dir / f"c{i}.npy", np.random.default_rng(i).integers(
+            0, 256, (6, 32, 32, 3), dtype=np.uint8))
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    overrides = [f"model.{k}={v}" for k, v in
+                 [("image_size", 32), ("video_length", 4),
+                  ("gen_features", 8), ("disc_features", 8)]]
+    with redirect_stdout(buf):
+        eval_fvd.main(["--config", "mug", "--run-dir", str(run_dir),
+                       "--data-dir", str(data_dir), "--n", "4",
+                       "--i3d-weights", str(tmp_path / "w.npz"),
+                       "--set", *overrides, "train.batch_size=2"])
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "fvd" in rep and np.isfinite(rep["fvd"])
+    assert rep["extractor"] == "i3d_logits"
+    del sys
+
+
 def test_get_config_nested_overrides():
     from mocogan_tpu import get_config
 
