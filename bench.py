@@ -171,7 +171,9 @@ def main():
     # is degraded, not the program. Wait and re-measure once so a one-shot
     # driver capture can't silently record a degraded window as a 22x
     # regression; if it persists, flag it in the artifact.
-    if train["best"] < 20.0:
+    import jax
+
+    if train["best"] < 20.0 and jax.default_backend() == "tpu":
         print(f"[bench] degraded tunnel window suspected "
               f"({train['best']:.2f} steps/s); retrying in 120s",
               file=sys.stderr)
@@ -194,30 +196,36 @@ def main():
             print(f"[bench] bf16 variant failed: {e}", file=sys.stderr)
     # Production multi-step path (device cache + scan; BENCH_SCAN=0 skips).
     if os.environ.get("BENCH_SCAN", "1") != "0":
+        # Separate try blocks: a bf16 failure must not discard the already
+        # measured fp32 numbers from the artifact.
         try:
             scan = tpu_scan_stats("float32")
-            scan_bf16 = tpu_scan_stats("bfloat16")
             extra["train_steps_per_sec_scan16"] = round(scan["best"], 2)
             extra["train_steps_per_sec_scan16_median"] = round(
                 scan["median"], 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] scan fp32 variant failed: {e}", file=sys.stderr)
+        try:
+            scan_bf16 = tpu_scan_stats("bfloat16")
             extra["train_steps_per_sec_scan16_bf16"] = round(
                 scan_bf16["best"], 2)
             extra["train_steps_per_sec_scan16_bf16_median"] = round(
                 scan_bf16["median"], 2)
         except Exception as e:  # noqa: BLE001
-            print(f"[bench] scan variant failed: {e}", file=sys.stderr)
+            print(f"[bench] scan bf16 variant failed: {e}", file=sys.stderr)
     # Batch frontier (BENCH_BATCHES=0 skips): per-clip train throughput
     # keeps improving with batch; document 32/64 alongside the headline 16.
     if os.environ.get("BENCH_BATCHES", "1") != "0":
-        try:
-            for b in (32, 64):
+        for b in (32, 64):
+            try:
                 st = tpu_train_stats("bfloat16", batch_size=b)
                 extra[f"train_clips_per_sec_bf16_b{b}"] = round(
                     st["best"] * b, 1)
                 extra[f"train_steps_per_sec_bf16_b{b}"] = round(
                     st["best"], 2)
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] batch frontier failed: {e}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] batch {b} frontier failed: {e}",
+                      file=sys.stderr)
     # generate() dispatch-size sweep.
     try:
         sweep = generate_sweep()

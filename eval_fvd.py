@@ -31,16 +31,11 @@ def _samples_from_run(cfg, run_dir: str, n: int, seed: int):
     mngr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
     state = mngr.restore(train_state.create(cfg))
     step = int(np.asarray(jax.device_get(state.step)))
-    out = []
-    bs = 32
-    for i in range(0, n, bs):
-        v = generator.generate_fast(
-            state.params["gen"], state.bn["gen"],
-            jax.random.fold_in(jax.random.key(seed), i), min(bs, n - i),
-            cfg.model)
-        out.append(np.asarray(jax.device_get(v)))
+    vids = generator.generate_chunked(
+        state.params["gen"], state.bn["gen"], jax.random.key(seed), n,
+        cfg.model)
     mngr.close()
-    return np.concatenate(out), step
+    return vids, step
 
 
 def _real_from_store(cfg, data_dir: str, n: int, seed: int):

@@ -358,11 +358,17 @@ def split_trainer_snapshot(src) -> Tuple[Dict[str, Dict[str, np.ndarray]],
     report: Dict[str, Any] = {"groups": {}, "unmapped": []}
     for name, tensors in groups.items():
         low = name.lower()
+        # Substring checks for the unambiguous spellings; the short forms
+        # ("dv"/"di"/"v"/"i") only as whole tokens — substring "di" would
+        # misclassify any name containing "dis" (e.g. "v_dis") as D_I.
+        toks = set(re.split(r"[^a-z0-9]+", low)) - {""}
         if "gen" in low:
             net = "gen"
-        elif any(s in low for s in ("video", "vdis", "dis_v", "dv")):
+        elif (any(s in low for s in ("video", "vdis", "dis_v"))
+              or toks & {"dv", "v"}):
             net = "dv"
-        elif any(s in low for s in ("image", "idis", "dis_i", "di")):
+        elif (any(s in low for s in ("image", "idis", "dis_i"))
+              or toks & {"di", "i"}):
             net = "di"
         else:
             report["unmapped"].append(name)

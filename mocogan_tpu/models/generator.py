@@ -175,6 +175,28 @@ def generate_fast(params: Params, state: State, key: jax.Array, n: int,
     return _generate_jit(cfg, n, video_length)(params, state, key, labels)
 
 
+def generate_chunked(params: Params, state: State, key: jax.Array, n: int,
+                     cfg: ModelConfig, *, chunk: int = 64):
+    """``generate_fast`` in bounded chunks -> one host (N, T, H, W, C)
+    float32 array. Chunk i uses ``fold_in(key, i)``; at most two programs
+    compile (the chunk size and a remainder). Bounds peak HBM for large N
+    (256 eval clips at the scaled geometry would be ~1 GB in one dispatch)
+    — used by the trainer's FVD hook and the eval CLIs."""
+    import numpy as np
+
+    if n <= 0:
+        raise ValueError(f"generate_chunked needs n >= 1, got {n}")
+    out = []
+    done = i = 0
+    while done < n:
+        m = min(chunk, n - done)
+        out.append(np.asarray(jax.device_get(generate_fast(
+            params, state, jax.random.fold_in(key, i), m, cfg))))
+        done += m
+        i += 1
+    return np.concatenate(out)
+
+
 def to_uint8(videos: jax.Array) -> jax.Array:
     """Denormalize [-1,1] -> uint8, matching the reference's (x+1)/2*255."""
     x = jnp.clip((videos + 1.0) * 0.5 * 255.0, 0, 255)

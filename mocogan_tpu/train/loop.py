@@ -69,6 +69,7 @@ class Trainer:
         self._eval_key = jax.random.key(cfg.train.seed + 1_000_000)
         self._preproc_fn = None  # jitted fused ingest, built on first use
         self._fvd_extractor = None
+        self._fvd_warned = False
         self._hooks: list = []
 
     def add_hook(self, every: int, fn) -> None:
@@ -126,26 +127,22 @@ class Trainer:
         from mocogan_tpu.eval import fvd as fvd_mod
 
         n = min(self.cfg.train.eval_clips, len(real_pool))
-        # Generate in bounded chunks (one compiled program, folded keys):
-        # the sound default budget (256 clips >= 4x the 64-dim extractor)
-        # would otherwise materialize ~1 GB of fp32 video per eval at the
-        # scaled geometry in a single dispatch.
-        chunk = min(n, 64)
-        vids = []
-        for i in range(0, n // chunk):
-            vids.append(np.asarray(jax.device_get(generator.generate_fast(
-                self.state.params["gen"], self.state.bn["gen"],
-                jax.random.fold_in(self._eval_key, i), chunk,
-                self.cfg.model))))
-        rem = n - chunk * (n // chunk)
-        if rem:
-            vids.append(np.asarray(jax.device_get(generator.generate_fast(
-                self.state.params["gen"], self.state.bn["gen"],
-                jax.random.fold_in(self._eval_key, n // chunk), rem,
-                self.cfg.model))))
+        if n <= 0:
+            raise ValueError(
+                f"eval_fvd needs clips: eval_clips="
+                f"{self.cfg.train.eval_clips}, real pool {len(real_pool)}")
         if self._fvd_extractor is None:
             self._fvd_extractor = fvd_mod.RandomProjectionFeatures()
-        return fvd_mod.fvd(np.concatenate(vids), real_pool[:n],
+        want = 4 * self._fvd_extractor.dim
+        if n < want and not self._fvd_warned:
+            self._fvd_warned = True
+            print(f"[trainer] WARNING: fvd_proxy from {n} clips < 4x the "
+                  f"{self._fvd_extractor.dim}-dim extractor ({want}); the "
+                  f"covariance estimate will be noise-dominated")
+        vids = generator.generate_chunked(
+            self.state.params["gen"], self.state.bn["gen"], self._eval_key,
+            n, self.cfg.model)
+        return fvd_mod.fvd(vids, real_pool[:n],
                            extractor=self._fvd_extractor)
 
     def save_samples(self, step: int, n: int = 16) -> str:
@@ -256,10 +253,18 @@ class Trainer:
                 self.save_samples(step)
             if crossed(cfg.train.eval_every, prev, step):
                 if k > 1 and real.dtype == jnp.uint8:
-                    # raw stack: run the jitted ingest on one sub-batch so
-                    # the real pool matches the generated resolution
-                    pool = np.asarray(jax.device_get(
-                        self._fused_preproc()(real[0], idx[0])))
+                    # raw stack: run the jitted ingest on as many
+                    # sub-batches as the eval budget needs (one sub-batch
+                    # of B clips would leave the Fréchet covariance
+                    # rank-deficient against the 4x-dim clip target)
+                    parts, have = [], 0
+                    for j in range(real.shape[0]):
+                        if have >= cfg.train.eval_clips:
+                            break
+                        parts.append(np.asarray(jax.device_get(
+                            self._fused_preproc()(real[j], idx[j]))))
+                        have += parts[-1].shape[0]
+                    pool = np.concatenate(parts)[:cfg.train.eval_clips]
                 else:
                     pool = np.asarray(jax.device_get(real))
                     if pool.ndim == 6:  # (K, B, ...) f32 stack
@@ -355,13 +360,18 @@ class Trainer:
                 self.save_samples(step)
             if crossed(cfg.train.eval_every, prev, step):
                 if eval_pool is None:
-                    n = min(cfg.train.eval_clips, len(lengths_np))
+                    # eval_clips WINDOWS, not clips: draw clips with
+                    # replacement and random temporal starts so a small
+                    # corpus (e.g. 96 clips) still yields the 4x-dim
+                    # sample budget the Fréchet estimate needs.
+                    n = cfg.train.eval_clips
                     t = cfg.model.video_length
-                    sel = np.random.default_rng(0).integers(
-                        0, len(lengths_np), size=n)
+                    erng = np.random.default_rng(0)
+                    sel = erng.integers(0, len(lengths_np), size=n)
                     raws = np.stack([
-                        pool_np[i, :t] if lengths_np[i] >= t else
-                        pool_np[i, np.arange(t) % max(lengths_np[i], 1)]
+                        pool_np[i][(int(erng.integers(
+                            0, max(lengths_np[i] - t + 1, 1)))
+                            + np.arange(t)) % max(lengths_np[i], 1)]
                         for i in sel])
                     idx = np.broadcast_to(np.arange(t, dtype=np.int32),
                                           (n, t))

@@ -185,6 +185,16 @@ def main():
     ap.add_argument("--out", default="docs/results/scaling")
     ap.add_argument("--skip-weak", action="store_true")
     args = ap.parse_args()
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        raise SystemExit(
+            f"scaling_dossier needs an 8-device mesh, have "
+            f"{len(jax.devices())} ({jax.default_backend()}). Run with\n"
+            "  JAX_PLATFORMS=cpu "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+            "python scripts/scaling_dossier.py")
     os.makedirs(args.out, exist_ok=True)
 
     out = {}

@@ -340,3 +340,22 @@ def test_trainer_snapshot_auto_split(tmp_path, tiny_cfg):
     np.savez(dpath, **dup)
     with pytest.raises(ValueError, match="two groups"):
         imp.split_trainer_snapshot(dpath)
+
+
+def test_snapshot_split_short_token_names(tmp_path, tiny_cfg):
+    """Short/abbreviated group names map correctly: 'v_dis' must go to dv
+    (substring 'di' in 'dis' must NOT capture it for the image net)."""
+    from mocogan_tpu.train import state as train_state
+
+    state = train_state.create(tiny_cfg)
+    entries = {}
+    for net, gname in (("gen", "g_gen"), ("di", "i_dis"), ("dv", "v_dis")):
+        path = str(tmp_path / f"{net}.npz")
+        imp.export_net_npz(path, net, jax.device_get(state.params[net]),
+                           jax.device_get(state.bn[net]), tiny_cfg.model)
+        for k, v in np.load(path).items():
+            entries[f"updater/model:{gname}/{k}"] = v
+    np.savez(str(tmp_path / "s.npz"), **entries)
+    nets, report = imp.split_trainer_snapshot(str(tmp_path / "s.npz"))
+    assert report["groups"] == {"gen": "g_gen", "di": "i_dis",
+                                "dv": "v_dis"}, report

@@ -119,3 +119,26 @@ def test_param_counts_positive(tiny_cfg):
     counts = train_state.param_count(s)
     assert set(counts) == {"gen", "di", "dv"}
     assert all(c > 0 for c in counts.values())
+
+
+def test_generate_chunked_matches_generate_fast(tiny_cfg):
+    """generate_chunked == concatenation of fold_in-keyed generate_fast
+    chunks; loud error on n <= 0."""
+    import pytest
+
+    from mocogan_tpu.train import state as train_state
+
+    s = train_state.create(tiny_cfg)
+    key = jax.random.key(5)
+    got = generator.generate_chunked(s.params["gen"], s.bn["gen"], key, 5,
+                                     tiny_cfg.model, chunk=2)
+    assert got.shape[0] == 5
+    want = np.concatenate([
+        np.asarray(jax.device_get(generator.generate_fast(
+            s.params["gen"], s.bn["gen"], jax.random.fold_in(key, i), m,
+            tiny_cfg.model)))
+        for i, m in enumerate([2, 2, 1])])
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="n >= 1"):
+        generator.generate_chunked(s.params["gen"], s.bn["gen"], key, 0,
+                                   tiny_cfg.model)
