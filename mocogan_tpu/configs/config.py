@@ -142,7 +142,6 @@ class DataConfig:
     # -scale corpora (a few GB uint8); needs steps_per_call >= 1.
     device_cache: bool = False
     prefetch: int = 2                    # device batches kept in flight
-    shuffle_buffer: int = 512
     # Reference-faithful epoch semantics (SerialIterator shuffle=True): each
     # clip appears exactly once per epoch, order re-drawn per epoch from a
     # PRNG keyed by (seed, epoch). Default off = i.i.d. per-batch draws

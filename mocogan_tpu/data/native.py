@@ -32,9 +32,15 @@ def load_library() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            # Compile to a process-unique temp path and os.replace into
+            # place (atomic on POSIX): concurrent processes (multi-host
+            # launch, parallel test workers) must never dlopen a
+            # partially written .so.
+            tmp = f"{_LIB}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
                 check=True, capture_output=True, timeout=300)
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(_LIB)
         lib.cs_open.restype = ctypes.c_void_p
         lib.cs_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),

@@ -46,6 +46,17 @@ void set_err(char* err, int errlen, const std::string& msg) {
   }
 }
 
+// Error-path teardown for cs_open: unmap every clip mapped so far (a
+// corrupt file i > 0 must not leak mappings 0..i-1 for the process
+// lifetime) and release the store.
+void* fail_open(Store* st) {
+  for (auto& clip : st->clips) {
+    munmap(clip.map, clip.map_len);
+  }
+  delete st;
+  return nullptr;
+}
+
 // Minimal .npy header parser for C-order uint8 arrays of rank 4.
 bool parse_npy(const uint8_t* buf, size_t len, int64_t shape[4],
                size_t* data_off, std::string* why) {
@@ -118,23 +129,20 @@ void* cs_open(const char** paths, int n_paths, char* err, int errlen) {
     int fd = ::open(paths[i], O_RDONLY);
     if (fd < 0) {
       set_err(err, errlen, std::string("open failed: ") + paths[i]);
-      delete st;
-      return nullptr;
+      return fail_open(st);
     }
     struct stat sb;
     if (fstat(fd, &sb) != 0 || sb.st_size < 10) {
       ::close(fd);
       set_err(err, errlen, std::string("stat failed: ") + paths[i]);
-      delete st;
-      return nullptr;
+      return fail_open(st);
     }
     void* map = mmap(nullptr, static_cast<size_t>(sb.st_size), PROT_READ,
                      MAP_PRIVATE, fd, 0);
     ::close(fd);
     if (map == MAP_FAILED) {
       set_err(err, errlen, std::string("mmap failed: ") + paths[i]);
-      delete st;
-      return nullptr;
+      return fail_open(st);
     }
     madvise(map, static_cast<size_t>(sb.st_size), MADV_WILLNEED);
 
@@ -145,8 +153,7 @@ void* cs_open(const char** paths, int n_paths, char* err, int errlen) {
                    static_cast<size_t>(sb.st_size), shape, &off, &why)) {
       munmap(map, static_cast<size_t>(sb.st_size));
       set_err(err, errlen, std::string(paths[i]) + ": " + why);
-      delete st;
-      return nullptr;
+      return fail_open(st);
     }
     if (st->clips.empty()) {
       st->h = shape[1];
@@ -157,15 +164,13 @@ void* cs_open(const char** paths, int n_paths, char* err, int errlen) {
       munmap(map, static_cast<size_t>(sb.st_size));
       set_err(err, errlen,
               std::string(paths[i]) + ": frame geometry differs from clip 0");
-      delete st;
-      return nullptr;
+      return fail_open(st);
     }
     const size_t need = off + static_cast<size_t>(shape[0] * st->frame_bytes);
     if (need > static_cast<size_t>(sb.st_size)) {
       munmap(map, static_cast<size_t>(sb.st_size));
       set_err(err, errlen, std::string(paths[i]) + ": file shorter than shape");
-      delete st;
-      return nullptr;
+      return fail_open(st);
     }
     Clip clip;
     clip.data = static_cast<const uint8_t*>(map) + off;

@@ -127,8 +127,17 @@ def epoch_shuffle_select(key: jax.Array, step, batch: int,
     epoch = g // n
     pos = g % n
 
-    def pick(e, p):
-        perm = jax.random.permutation(jax.random.fold_in(key, e), n)
-        return perm[p]
+    # A window of `batch` consecutive global positions spans at most
+    # (batch-1)//n + 2 distinct epochs, so materialize only that many
+    # permutations (epoch e's permutation is keyed fold_in(key, e), same
+    # as always — the stream is unchanged) instead of one n-element
+    # permutation PER BATCH ELEMENT (the old vmap-over-B formulation:
+    # B*n work per step vs ~2n here).
+    n_perms = (batch - 1) // n + 2
+    e0 = epoch[0]
 
-    return jax.vmap(pick)(epoch, pos).astype(jnp.int32)
+    def perm_for(o):
+        return jax.random.permutation(jax.random.fold_in(key, e0 + o), n)
+
+    perms = jax.vmap(perm_for)(jnp.arange(n_perms))      # (n_perms, n)
+    return perms[epoch - e0, pos].astype(jnp.int32)

@@ -50,8 +50,11 @@ class Trainer:
         os.makedirs(self.out_dir, exist_ok=True)
 
         pmesh.initialize_distributed()
+        # No silent clamp: a config that asks for 8 devices on a 1-chip
+        # host must fail with make_mesh's explicit error, not quietly run
+        # single-chip with the full global batch (wrong semantics and
+        # likely OOM at the scaled geometry).
         n_dev = cfg.train.num_devices or len(jax.devices())
-        n_dev = min(n_dev, len(jax.devices()))
         self.mesh = pmesh.make_mesh(n_dev)
         self.step_fn = pmesh.make_sharded_train_step(cfg, self.mesh)
         self.multi_fn = None  # built on demand when steps_per_call > 1
@@ -177,29 +180,93 @@ class Trainer:
                                                  axis=1)
         return pmesh.shard_stacked_batch(self.mesh, raw, labs, idx)
 
-    def run(self, data_iterator: Iterator[Tuple[np.ndarray, Any]],
-            total_steps: Optional[int] = None) -> Dict[str, float]:
-        cfg = self.cfg
-        k = max(1, cfg.train.steps_per_call)
-        total = total_steps or cfg.train.total_steps
+    @staticmethod
+    def _crossed(every: int, s0: int, s1: int) -> bool:
+        return bool(every) and (s1 // every) > (s0 // every)
+
+    def _plan_total(self, total_steps: Optional[int],
+                    k: int) -> Optional[Tuple[int, int]]:
+        """(start, total rounded up to a multiple of k) or None if the
+        restored step already covers the request (resume no-op guard)."""
+        total = total_steps or self.cfg.train.total_steps
         start = int(jax.device_get(self.state.step))
         if start >= total:
             print(f"[trainer] nothing to do: resumed step {start} >= "
                   f"total {total}")
-            return {}
+            return None
         if (total - start) % k:
             total = start + -(-(total - start) // k) * k
             print(f"[trainer] rounding total up to {total} "
                   f"(steps_per_call={k})")
+        return start, total
 
-        if k > 1 and self.multi_fn is None:
-            self.multi_fn = pmesh.make_sharded_multi_train_step(cfg,
-                                                                self.mesh)
+    def _run_loop(self, start: int, total: int, k: int, dispatch,
+                  eval_pool_fn) -> Dict[str, float]:
+        """The shared cadence driver for both training modes (ONE copy of
+        the log/sample/eval/checkpoint/hook machinery so the two modes
+        cannot drift).
 
+        dispatch(step) advances self.state by k steps and returns the
+        program's metrics (per-step means for multi-step programs — they
+        are re-weighted by k here). eval_pool_fn() returns the real-clip
+        pool for the FVD hook, at the generated resolution.
+        """
+        cfg = self.cfg
         acc: Optional[Dict[str, jax.Array]] = None  # on-device metric sums
         n_acc = 0  # in steps
         t_window = time.time()
         last: Dict[str, float] = {}
+        step = start
+        while step < total:
+            metrics = dispatch(step)
+            prev, step = step, step + k
+            w = jax.tree.map(lambda x: x * k, metrics)
+            acc = w if acc is None else jax.tree.map(jnp.add, acc, w)
+            n_acc += k
+
+            if self._crossed(cfg.train.log_every, prev, step) \
+                    or step >= total:
+                fetched = jax.device_get(acc)
+                dt = time.time() - t_window
+                last = {kk: float(v) / n_acc for kk, v in fetched.items()}
+                sps = n_acc / dt
+                self.logger.log(step, last, steps_per_sec=round(sps, 3),
+                                clips_per_sec=round(
+                                    sps * cfg.train.batch_size, 2))
+                print(f"[step {step}/{total}] "
+                      + " ".join(f"{kk}={v:.4f}" for kk, v in last.items())
+                      + f" | {sps:.2f} steps/s")
+                acc, n_acc, t_window = None, 0, time.time()
+
+            if self._crossed(cfg.train.sample_every, prev, step):
+                self.save_samples(step)
+            if self._crossed(cfg.train.eval_every, prev, step):
+                score = self.eval_fvd(eval_pool_fn())
+                self.logger.log(step, {"fvd_proxy": score})
+                print(f"[step {step}] fvd_proxy={score:.2f}")
+            if self._crossed(cfg.train.checkpoint_every, prev, step):
+                self.ckpt.save(self.state)
+            for every, hook in self._hooks:
+                if self._crossed(every, prev, step):
+                    hook(self, step)
+
+        self.ckpt.save(self.state, wait=True)
+        self.save_samples(total)
+        self.logger.plot()
+        return last
+
+    def run(self, data_iterator: Iterator[Tuple[np.ndarray, Any]],
+            total_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        k = max(1, cfg.train.steps_per_call)
+        plan = self._plan_total(total_steps, k)
+        if plan is None:
+            return {}
+        start, total = plan
+
+        if k > 1 and self.multi_fn is None:
+            self.multi_fn = pmesh.make_sharded_multi_train_step(cfg,
+                                                                self.mesh)
 
         from mocogan_tpu.data.pipeline import ThreadedPrefetcher
 
@@ -213,76 +280,47 @@ class Trainer:
                     else self._put(nxt)
             return self._put_stack([next(data_iterator) for _ in range(k)])
 
-        def crossed(every: int, s0: int, s1: int) -> bool:
-            return bool(every) and (s1 // every) > (s0 // every)
+        current = {"batch": put_next()}
 
-        batch = put_next()
-        step = start
-        while step < total:
+        def dispatch(step):
+            batch = current["batch"]
             if k == 1:
                 real, lab = batch
                 state, metrics = self.step_fn(self.state, real, lab)
             else:
                 reals, labs, idx = batch
-                real = reals  # for the FVD hook below
                 state, metrics = self.multi_fn(self.state, reals, labs, idx)
             self.state = state
-            prev, step = step, step + k
             # prefetch the next chunk while the device runs ahead
-            if step < total:
-                batch = put_next()
-            # metrics from the multi-step program are per-step means over k
-            w = jax.tree.map(lambda x: x * k, metrics) if k > 1 else metrics
-            acc = w if acc is None else jax.tree.map(jnp.add, acc, w)
-            n_acc += k
+            if step + k < total:
+                current["batch"] = put_next()
+            return metrics
 
-            if crossed(cfg.train.log_every, prev, step) or step >= total:
-                fetched = jax.device_get(acc)
-                dt = time.time() - t_window
-                last = {kk: float(v) / n_acc for kk, v in fetched.items()}
-                sps = n_acc / dt
-                self.logger.log(step, last, steps_per_sec=round(sps, 3),
-                                clips_per_sec=round(
-                                    sps * cfg.train.batch_size, 2))
-                print(f"[step {step}/{total}] "
-                      + " ".join(f"{kk}={v:.4f}" for kk, v in last.items())
-                      + f" | {sps:.2f} steps/s")
-                acc, n_acc, t_window = None, 0, time.time()
+        def eval_pool_fn():
+            real = current["batch"][0]
+            if k > 1 and real.dtype == jnp.uint8:
+                # raw stack: run the jitted ingest on as many sub-batches
+                # as the eval budget needs (one sub-batch of B clips would
+                # leave the Fréchet covariance rank-deficient against the
+                # 4x-dim clip target)
+                idx = current["batch"][2]
+                parts, have = [], 0
+                for j in range(real.shape[0]):
+                    if have >= cfg.train.eval_clips:
+                        break
+                    parts.append(np.asarray(jax.device_get(
+                        self._fused_preproc()(real[j], idx[j]))))
+                    have += parts[-1].shape[0]
+                return np.concatenate(parts)[:cfg.train.eval_clips]
+            pool = np.asarray(jax.device_get(real))
+            if pool.ndim == 6:  # (K, B, ...) f32 stack
+                pool = pool.reshape(-1, *pool.shape[-4:])
+            return pool
 
-            if crossed(cfg.train.sample_every, prev, step):
-                self.save_samples(step)
-            if crossed(cfg.train.eval_every, prev, step):
-                if k > 1 and real.dtype == jnp.uint8:
-                    # raw stack: run the jitted ingest on as many
-                    # sub-batches as the eval budget needs (one sub-batch
-                    # of B clips would leave the Fréchet covariance
-                    # rank-deficient against the 4x-dim clip target)
-                    parts, have = [], 0
-                    for j in range(real.shape[0]):
-                        if have >= cfg.train.eval_clips:
-                            break
-                        parts.append(np.asarray(jax.device_get(
-                            self._fused_preproc()(real[j], idx[j]))))
-                        have += parts[-1].shape[0]
-                    pool = np.concatenate(parts)[:cfg.train.eval_clips]
-                else:
-                    pool = np.asarray(jax.device_get(real))
-                    if pool.ndim == 6:  # (K, B, ...) f32 stack
-                        pool = pool.reshape(-1, *pool.shape[-4:])
-                score = self.eval_fvd(pool)
-                self.logger.log(step, {"fvd_proxy": score})
-                print(f"[step {step}] fvd_proxy={score:.2f}")
-            if crossed(cfg.train.checkpoint_every, prev, step):
-                self.ckpt.save(self.state)
-            for every, hook in self._hooks:
-                if crossed(every, prev, step):
-                    hook(self, step)
-
-        data_iterator.close()
-        self.ckpt.save(self.state, wait=True)
-        self.save_samples(total)
-        self.logger.plot()
-        return last
+        try:
+            return self._run_loop(start, total, k, dispatch, eval_pool_fn)
+        finally:
+            data_iterator.close()
 
     def run_device_cached(self, total_steps: Optional[int] = None
                           ) -> Dict[str, float]:
@@ -294,14 +332,10 @@ class Trainer:
 
         cfg = self.cfg
         k = max(1, cfg.train.steps_per_call)
-        total = total_steps or cfg.train.total_steps
-        start = int(jax.device_get(self.state.step))
-        if start >= total:
-            print(f"[trainer] nothing to do: resumed step {start} >= "
-                  f"total {total}")
+        plan = self._plan_total(total_steps, k)
+        if plan is None:
             return {}
-        if (total - start) % k:
-            total = start + -(-(total - start) // k) * k
+        start, total = plan
 
         pool_np, lengths_np, labels_np = clips.load_pool(cfg.data.data_dir)
         if cfg.model.conditional and labels_np.max() >= cfg.model.n_classes:
@@ -323,75 +357,37 @@ class Trainer:
               f"{len(lengths_np)} clips resident in HBM")
         step_fn = pmesh.make_cached_train_step(cfg, self.mesh, k)
 
-        # real pool for the FVD hook: one preprocessed batch-worth of clips
-        eval_pool = None
-
-        acc = None
-        n_acc = 0
-        t_window = time.time()
-        last: Dict[str, float] = {}
-
-        def crossed(every: int, s0: int, s1: int) -> bool:
-            return bool(every) and (s1 // every) > (s0 // every)
-
-        step = start
-        while step < total:
+        def dispatch(step):
             state, metrics = step_fn(self.state, pool, lengths, labels)
             self.state = state
-            prev, step = step, step + k
-            w = jax.tree.map(lambda x: x * k, metrics)
-            acc = w if acc is None else jax.tree.map(jnp.add, acc, w)
-            n_acc += k
+            return metrics
 
-            if crossed(cfg.train.log_every, prev, step) or step >= total:
-                fetched = jax.device_get(acc)
-                dt = time.time() - t_window
-                last = {kk: float(v) / n_acc for kk, v in fetched.items()}
-                sps = n_acc / dt
-                self.logger.log(step, last, steps_per_sec=round(sps, 3),
-                                clips_per_sec=round(
-                                    sps * cfg.train.batch_size, 2))
-                print(f"[step {step}/{total}] "
-                      + " ".join(f"{kk}={v:.4f}" for kk, v in last.items())
-                      + f" | {sps:.2f} steps/s")
-                acc, n_acc, t_window = None, 0, time.time()
+        # real pool for the FVD hook, built once on first use
+        cache: Dict[str, np.ndarray] = {}
 
-            if crossed(cfg.train.sample_every, prev, step):
-                self.save_samples(step)
-            if crossed(cfg.train.eval_every, prev, step):
-                if eval_pool is None:
-                    # eval_clips WINDOWS, not clips: draw clips with
-                    # replacement and random temporal starts so a small
-                    # corpus (e.g. 96 clips) still yields the 4x-dim
-                    # sample budget the Fréchet estimate needs.
-                    n = cfg.train.eval_clips
-                    t = cfg.model.video_length
-                    erng = np.random.default_rng(0)
-                    sel = erng.integers(0, len(lengths_np), size=n)
-                    raws = np.stack([
-                        pool_np[i][(int(erng.integers(
-                            0, max(lengths_np[i] - t + 1, 1)))
-                            + np.arange(t)) % max(lengths_np[i], 1)]
-                        for i in sel])
-                    idx = np.broadcast_to(np.arange(t, dtype=np.int32),
-                                          (n, t))
-                    eval_pool = np.asarray(jax.device_get(
-                        self._fused_preproc()(
-                            pmesh.shard_batch(self.mesh, raws),
-                            pmesh.shard_batch(self.mesh, idx))))
-                score = self.eval_fvd(eval_pool)
-                self.logger.log(step, {"fvd_proxy": score})
-                print(f"[step {step}] fvd_proxy={score:.2f}")
-            if crossed(cfg.train.checkpoint_every, prev, step):
-                self.ckpt.save(self.state)
-            for every, hook in self._hooks:
-                if crossed(every, prev, step):
-                    hook(self, step)
+        def eval_pool_fn():
+            if "pool" not in cache:
+                # eval_clips WINDOWS, not clips: draw clips with
+                # replacement and random temporal starts so a small
+                # corpus (e.g. 96 clips) still yields the 4x-dim
+                # sample budget the Fréchet estimate needs.
+                n = cfg.train.eval_clips
+                t = cfg.model.video_length
+                erng = np.random.default_rng(0)
+                sel = erng.integers(0, len(lengths_np), size=n)
+                raws = np.stack([
+                    pool_np[i][(int(erng.integers(
+                        0, max(lengths_np[i] - t + 1, 1)))
+                        + np.arange(t)) % max(lengths_np[i], 1)]
+                    for i in sel])
+                idx = np.broadcast_to(np.arange(t, dtype=np.int32), (n, t))
+                cache["pool"] = np.asarray(jax.device_get(
+                    self._fused_preproc()(
+                        pmesh.shard_batch(self.mesh, raws),
+                        pmesh.shard_batch(self.mesh, idx))))
+            return cache["pool"]
 
-        self.ckpt.save(self.state, wait=True)
-        self.save_samples(total)
-        self.logger.plot()
-        return last
+        return self._run_loop(start, total, k, dispatch, eval_pool_fn)
 
 
 def make_data_iterator(cfg: ExperimentConfig, start_batch: int = 0

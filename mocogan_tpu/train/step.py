@@ -319,7 +319,16 @@ def multi_train_step(state: TrainState, batches, labels, frame_idx,
 
     k = batches.shape[0]
     if frame_idx is None:
-        t = batches.shape[2] if is_raw else cfg.model.video_length
+        if is_raw and batches.shape[2] != cfg.model.video_length:
+            # An identity index over T_raw frames would feed
+            # video_length-sized nets T_raw-frame clips and die with an
+            # opaque dot-shape error deep inside jit.
+            raise ValueError(
+                f"multi_train_step: raw uint8 batches with T_raw="
+                f"{batches.shape[2]} != video_length="
+                f"{cfg.model.video_length} need explicit frame_idx "
+                f"(the temporal window selection)")
+        t = cfg.model.video_length
         frame_idx = jnp.broadcast_to(
             jnp.arange(t, dtype=jnp.int32),
             (k, batches.shape[1], t))

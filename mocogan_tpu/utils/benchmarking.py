@@ -46,19 +46,22 @@ def time_single_step(cfg, steps: int = 50, warmup: int = 6,
 
     s = train_state.create(cfg)
     fn = train_step.jitted_train_step(cfg)
-    m = cfg.model
-    vids, _ = synthetic.make_batch(0, cfg.train.batch_size,
-                                   t=m.video_length, size=m.image_size,
-                                   channels=m.channels)
+    mc = cfg.model
+    vids, labels = synthetic.make_batch(0, cfg.train.batch_size,
+                                        t=mc.video_length,
+                                        size=mc.image_size,
+                                        channels=mc.channels,
+                                        n_classes=mc.n_classes)
     v = jnp.asarray(vids)
+    lab = jnp.asarray(labels) if mc.conditional else None
     for _ in range(warmup):
-        s, m = fn(s, v, None)
+        s, m = fn(s, v, lab)
     jax.device_get(m)
     rates = []
     for _ in range(max(1, windows)):
         t0 = time.time()
         for _ in range(steps):
-            s, m = fn(s, v, None)
+            s, m = fn(s, v, lab)
         jax.device_get(m)
         rates.append(steps / (time.time() - t0))
     return _stats(rates)
@@ -93,9 +96,13 @@ def time_cached_scan(cfg, k: int = 16, reps: int = 4,
     rep = pmesh.replicated(mesh)
     pool_d = jax.device_put(pool, rep)
     len_d = jax.device_put(lengths, rep)
+    lab_d = None
+    if m.conditional:
+        lab_d = jax.device_put(
+            rng.integers(0, m.n_classes, (n_clips,)).astype(np.int32), rep)
     s = pmesh.shard_state(mesh, train_state.create(cfg))
     fn = pmesh.make_cached_train_step(cfg, mesh, k)
-    s, metrics = fn(s, pool_d, len_d, None)
+    s, metrics = fn(s, pool_d, len_d, lab_d)
     jax.device_get(metrics)
     # Each window queues `reps` dispatches WITHOUT intermediate syncs —
     # the Trainer never syncs per dispatch either (async dispatch overlaps
@@ -105,7 +112,7 @@ def time_cached_scan(cfg, k: int = 16, reps: int = 4,
     for _ in range(max(1, windows)):
         t0 = time.time()
         for _ in range(max(1, reps)):
-            s, metrics = fn(s, pool_d, len_d, None)
+            s, metrics = fn(s, pool_d, len_d, lab_d)
         jax.device_get(metrics)
         rates.append(k * max(1, reps) / (time.time() - t0))
     return _stats(rates)
