@@ -152,18 +152,25 @@ def I3DFeatures(weights_path: str, *, features: str = "logits",
                         resize_to=resize_to)
 
 
+def batched_features(videos: np.ndarray,
+                     extractor: Callable[[jax.Array], np.ndarray],
+                     batch_size: int = 32) -> np.ndarray:
+    """Extractor features over N videos in bounded dispatches -> (N, dim).
+    Shared by fvd() and the trainer's eval panel (which also derives
+    spread/diversity statistics from the same features)."""
+    out = []
+    for i in range(0, len(videos), batch_size):
+        out.append(extractor(jnp.asarray(videos[i:i + batch_size])))
+    return np.concatenate(out)
+
+
 def fvd(videos_a: np.ndarray, videos_b: np.ndarray,
         extractor: Optional[Callable[[jax.Array], np.ndarray]] = None,
         batch_size: int = 32) -> float:
     """FVD between two sets of videos (N, T, H, W, C) in [-1, 1]."""
     extractor = extractor or RandomProjectionFeatures()
-
-    def feats(videos: np.ndarray) -> np.ndarray:
-        out = []
-        for i in range(0, len(videos), batch_size):
-            out.append(extractor(jnp.asarray(videos[i:i + batch_size])))
-        return np.concatenate(out)
-
-    mu_a, s_a = gaussian_statistics(feats(videos_a))
-    mu_b, s_b = gaussian_statistics(feats(videos_b))
+    mu_a, s_a = gaussian_statistics(
+        batched_features(videos_a, extractor, batch_size))
+    mu_b, s_b = gaussian_statistics(
+        batched_features(videos_b, extractor, batch_size))
     return frechet_distance(mu_a, s_a, mu_b, s_b)

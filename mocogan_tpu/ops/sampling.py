@@ -14,6 +14,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Version of the (seed, step) -> (sel, starts) clip-selection stream.
+# Bump whenever the mapping changes for a fixed seed — a checkpoint
+# trained under a different stream version resumes onto DIFFERENT clip
+# windows than it was trained on, so exact-resume bit-continuity only
+# holds within one version (ADVICE r3 #1). History:
+#   1: round-1/2 numpy-based host stream (device cache drew separately)
+#   2: round-3+ unified jax-based batch_plan (host + device identical)
+DATA_STREAM_VERSION = 2
+
 
 def sample_frames(key: jax.Array, video: jax.Array) -> jax.Array:
     """Pick one random frame per clip.

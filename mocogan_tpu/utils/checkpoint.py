@@ -9,6 +9,7 @@ exact resume (the reference snapshots the same Trainer state).
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -17,6 +18,8 @@ from typing import TYPE_CHECKING
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+from mocogan_tpu.ops.sampling import DATA_STREAM_VERSION
 
 if TYPE_CHECKING:  # break the utils <-> train import cycle
     from mocogan_tpu.train.state import TrainState
@@ -58,6 +61,13 @@ class CheckpointManager:
     def save(self, state: "TrainState", *, wait: bool = False) -> int:
         step = int(jax.device_get(state.step))
         self._mngr.save(step, args=ocp.args.StandardSave(_to_saveable(state)))
+        # Sidecar (not in the Orbax tree, so old checkpoints still
+        # restore): which clip-selection stream this run trained on.
+        # Written once; restore() warns on mismatch (ADVICE r3 #1).
+        sidecar = os.path.join(self.directory, "stream_version.json")
+        if jax.process_index() == 0 and not os.path.exists(sidecar):
+            with open(sidecar, "w") as f:
+                json.dump({"data_stream_version": DATA_STREAM_VERSION}, f)
         if wait:
             self._mngr.wait_until_finished()
         return step
@@ -71,6 +81,24 @@ class CheckpointManager:
         step = self._mngr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        sidecar = os.path.join(self.directory, "stream_version.json")
+        saved_ver = None
+        if os.path.exists(sidecar):
+            try:
+                saved_ver = json.load(open(sidecar)).get(
+                    "data_stream_version")
+            except ValueError:
+                pass
+        if saved_ver != DATA_STREAM_VERSION:
+            # Pre-sidecar checkpoints (None) are version <= 2's
+            # predecessor or round-3 saves; either way the stream identity
+            # is unverifiable — say so instead of implying bit-continuity.
+            print(f"[checkpoint] WARNING: checkpoint was saved under "
+                  f"data-stream version {saved_ver} but this code runs "
+                  f"version {DATA_STREAM_VERSION}: resumed training "
+                  f"continues on a DIFFERENT clip-window stream for the "
+                  f"same seed (model/optimizer state restore exactly; "
+                  f"only the data order diverges).")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
                                 _to_saveable(template))
         tree = self._mngr.restore(step,
