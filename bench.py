@@ -232,6 +232,21 @@ def child_main(name: str, args: dict) -> None:
     # don't pay import cost; a real hang blocks inside a dispatch below.
     if name in os.environ.get("BENCH_FAKE_HANG", "").split(","):
         time.sleep(100000)
+    # Test hook #2: "stage:N:counterfile" — succeed the first N
+    # invocations of `stage`, then exit nonzero. Lets the harness tests
+    # simulate a tunnel that dies MID-run (initial preflight passes, the
+    # later re-probe fails) without any real hardware.
+    spec = os.environ.get("BENCH_FAKE_FAIL_AFTER", "")
+    if spec:
+        sname, n, path = spec.split(":", 2)
+        if sname == name:
+            count = 0
+            if os.path.exists(path):
+                count = int(open(path).read().strip() or 0)
+            with open(path, "w") as f:
+                f.write(str(count + 1))
+            if count >= int(n):
+                sys.exit(3)
     if name == "cpu_oracle":
         os.environ["JAX_PLATFORMS"] = "cpu"
     # The machine's axon sitecustomize calls jax.config.update(
@@ -316,6 +331,44 @@ def _flag(name: str) -> bool:
     return os.environ.get(name, "1") != "0"
 
 
+# Mid-run tunnel-death detection: the hang mode can begin BETWEEN stages
+# (observed 2026-08-21: preflight passed in 13s, then every later stage
+# hung). After two consecutive stage timeouts, re-probe with the cheap
+# preflight; if that also fails, mark the tunnel dead and skip remaining
+# TPU stages instead of burning the rest of the budget one timeout at a
+# time — the artifact then records tpu_died_mid_run plus everything
+# measured before the outage.
+HEALTH = {"consec_timeouts": 0, "dead": False, "rechecks": 0}
+
+
+def run_tpu_stage(name: str, args: dict, budget: Budget, diag: dict,
+                  extra: dict, diag_key: str | None = None):
+    key = diag_key or name
+    if HEALTH["dead"]:
+        diag[key] = {"skipped": "tpu_dead"}
+        return None
+    if HEALTH["consec_timeouts"] >= 2:
+        HEALTH["rechecks"] += 1
+        probe = run_stage("preflight", {}, budget, diag,
+                          diag_key=f"preflight_recheck{HEALTH['rechecks']}")
+        if probe and probe.get("ok"):
+            HEALTH["consec_timeouts"] = 0
+        else:
+            HEALTH["dead"] = True
+            extra["tpu_died_mid_run"] = True
+            print("[bench] tunnel unresponsive on re-probe after repeated "
+                  "stage timeouts — skipping remaining TPU stages",
+                  file=sys.stderr)
+            diag[key] = {"skipped": "tpu_dead"}
+            return None
+    res = run_stage(name, args, budget, diag, diag_key)
+    if diag.get(key, {}).get("timeout"):
+        HEALTH["consec_timeouts"] += 1
+    elif res is not None:
+        HEALTH["consec_timeouts"] = 0
+    return res
+
+
 def main():
     budget = Budget(float(os.environ.get("BENCH_BUDGET_SEC", "1200")))
     extra: dict = {}
@@ -339,7 +392,8 @@ def main():
 
     train = None
     if tpu_ok:
-        train = run_stage("train", {"dtype": "float32"}, budget, diag)
+        train = run_tpu_stage("train", {"dtype": "float32"}, budget,
+                              diag, extra)
         # Degraded-tunnel detection: the remote backend occasionally enters
         # multi-minute windows where EVERY dispatch is ~20x slow (observed
         # 3.7 vs 84 steps/s, identical program, self-recovering). Wait and
@@ -352,8 +406,8 @@ def main():
                   f"({train['best']:.2f} steps/s); retrying in 120s",
                   file=sys.stderr)
             time.sleep(120)
-            retry = run_stage("train", {"dtype": "float32"}, budget,
-                              diag, diag_key="train_retry")
+            retry = run_tpu_stage("train", {"dtype": "float32"}, budget,
+                                  diag, extra, diag_key="train_retry")
             extra["degraded_window_first_attempt"] = train["windows"]
             if retry and retry["best"] > train["best"]:
                 train = retry
@@ -366,41 +420,24 @@ def main():
         # On-device kernel correctness (after the headline so a pallas
         # failure can't cost the headline; its own stage so a hang can't
         # either).
-        pv = run_stage("pallas_verify", {}, budget, diag)
+        pv = run_tpu_stage("pallas_verify", {}, budget, diag, extra)
         extra["pallas_verified_on_device"] = bool(
             pv and pv.get("pallas_verified_on_device"))
 
         if _flag("BENCH_BF16"):
-            bf16 = run_stage("train", {"dtype": "bfloat16"}, budget,
-                             diag, diag_key="train_bf16")
+            bf16 = run_tpu_stage("train", {"dtype": "bfloat16"}, budget,
+                                 diag, extra, diag_key="train_bf16")
             if bf16:
                 extra["train_steps_per_sec_bf16"] = round(bf16["best"], 2)
                 extra["train_steps_per_sec_bf16_median"] = round(
                     bf16["median"], 2)
-        if _flag("BENCH_SCAN"):
-            for dt_name, key in (("float32", "train_steps_per_sec_scan16"),
-                                 ("bfloat16",
-                                  "train_steps_per_sec_scan16_bf16")):
-                scan = run_stage("scan", {"dtype": dt_name, "k": 16},
-                                 budget, diag,
-                                 diag_key=f"scan_{dt_name}")
-                if scan:
-                    extra[key] = round(scan["best"], 2)
-                    extra[key + "_median"] = round(scan["median"], 2)
-        if _flag("BENCH_BATCHES"):
-            for b in (32, 64):
-                st = run_stage("train", {"dtype": "bfloat16",
-                                         "batch_size": b}, budget, diag,
-                               diag_key=f"train_b{b}")
-                if st:
-                    extra[f"train_clips_per_sec_bf16_b{b}"] = round(
-                        st["best"] * b, 1)
-                    extra[f"train_steps_per_sec_bf16_b{b}"] = round(
-                        st["best"], 2)
+        # generate() BEFORE scan/batches: clips/sec is part of the
+        # BASELINE metric, so under a shrinking budget (or a tunnel dying
+        # mid-run) it must outrank the secondary matrices.
         clips = None
         if _flag("BENCH_GENERATE"):
-            sweep = run_stage("generate", {"sizes": [64, 256, 512]},
-                              budget, diag)
+            sweep = run_tpu_stage("generate", {"sizes": [64, 256, 512]},
+                                  budget, diag, extra)
             if sweep:
                 extra["generate_sweep_clips_per_sec"] = {
                     n: {"best": round(s["best"], 1),
@@ -409,6 +446,26 @@ def main():
                 clips = sweep["256"]["best"]
                 extra["generate_clips_per_sec_median"] = round(
                     sweep["256"]["median"], 1)
+        if _flag("BENCH_SCAN"):
+            for dt_name, key in (("float32", "train_steps_per_sec_scan16"),
+                                 ("bfloat16",
+                                  "train_steps_per_sec_scan16_bf16")):
+                scan = run_tpu_stage("scan", {"dtype": dt_name, "k": 16},
+                                     budget, diag, extra,
+                                     diag_key=f"scan_{dt_name}")
+                if scan:
+                    extra[key] = round(scan["best"], 2)
+                    extra[key + "_median"] = round(scan["median"], 2)
+        if _flag("BENCH_BATCHES"):
+            for b in (32, 64):
+                st = run_tpu_stage("train", {"dtype": "bfloat16",
+                                             "batch_size": b}, budget,
+                                   diag, extra, diag_key=f"train_b{b}")
+                if st:
+                    extra[f"train_clips_per_sec_bf16_b{b}"] = round(
+                        st["best"] * b, 1)
+                    extra[f"train_steps_per_sec_bf16_b{b}"] = round(
+                        st["best"], 2)
     else:
         clips = None
         print("[bench] TPU unresponsive at preflight — emitting partial "

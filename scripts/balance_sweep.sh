@@ -19,10 +19,13 @@ fi
 run() {
   name=$1; shift
   echo "=== cell $name ==="
-  python train.py --config mug --data-dir "$STORE" \
+  # timeout: a hung tunnel (docs/PERFORMANCE.md third failure mode) must
+  # cost one cell, not wedge the whole sweep.
+  timeout "${CELL_TIMEOUT:-1800}" python train.py --config mug \
+    --data-dir "$STORE" \
     --total-steps "$STEPS" --no-resume --out-dir "$OUT/$name" \
     --set train.eval_every=2000 "$@" \
-    2>&1 | tail -3
+    2>&1 | tail -3 || echo "!!! cell $name failed/timed out (rc $?)"
 }
 
 # r3 recipe (known: loss_gen drifts to 12-17 while Ds pin at the floor)

@@ -74,6 +74,43 @@ def test_hung_preflight_reports_tpu_unresponsive(tmp_path):
     assert extra["cpu_oracle_steps_per_sec"] == 0.002
 
 
+def test_mid_run_tunnel_death_stops_burning_budget(tmp_path):
+    """The hang mode can start BETWEEN stages (observed live: preflight
+    passed in 13s, every later stage hung). After two consecutive stage
+    timeouts the parent re-probes; a failed re-probe must mark the tunnel
+    dead and SKIP remaining TPU stages rather than timing out each one."""
+    cache = tmp_path / "cpu_cache.json"
+    cache.write_text(json.dumps({"mug_b16": 0.002}))
+    env = dict(
+        os.environ,
+        # train and pallas_verify hang (the two consecutive timeouts);
+        # the preflight succeeds ONCE (initial) then fails (re-probe).
+        BENCH_FAKE_HANG="train,pallas_verify",
+        BENCH_FAKE_FAIL_AFTER=f"preflight:1:{tmp_path}/pf_count",
+        BENCH_STAGE_TIMEOUTS=json.dumps({"train": 3, "pallas_verify": 3}),
+        BENCH_BUDGET_SEC="300",
+        BENCH_CPU_CACHE=str(cache),
+        BENCH_BF16="1", BENCH_SCAN="0", BENCH_BATCHES="0",
+        BENCH_GENERATE="1",
+    )
+    t0 = time.time()
+    out = subprocess.run([sys.executable, BENCH], capture_output=True,
+                         text=True, env=env, cwd=REPO, timeout=360)
+    elapsed = time.time() - t0
+    assert out.returncode == 0, out.stderr[-2000:]
+    parsed = json.loads(out.stdout.splitlines()[-1])
+    extra = parsed["extra"]
+    assert extra["tpu_died_mid_run"] is True
+    assert extra["stages"]["train"]["timeout"] is True
+    assert extra["stages"]["pallas_verify"]["timeout"] is True
+    # Post-death stages were skipped, not timed out.
+    assert extra["stages"]["train_bf16"] == {"skipped": "tpu_dead"}
+    assert extra["stages"]["generate"] == {"skipped": "tpu_dead"}
+    # ...which is exactly what keeps the run fast: well under the budget
+    # (2 fake hangs x 3s + one preflight each side, not 4 x timeout).
+    assert elapsed < 180
+
+
 def test_healthy_cpu_run_emits_full_headline(tmp_path):
     """With no fake hang, the subprocess-staged bench must still produce a
     real headline (CPU backend; tiny budget-friendly stage set)."""
