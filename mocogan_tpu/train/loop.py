@@ -174,6 +174,14 @@ class Trainer:
         spread_g = float(np.mean(np.linalg.norm(feats_gen - mu_g, axis=1)))
         spread_r = float(np.mean(np.linalg.norm(feats_real - mu_r, axis=1)))
         out["gen_spread_ratio"] = spread_g / max(spread_r, 1e-12)
+        if n >= 2:
+            # Pixel-space collapse probe (complements the feature-space
+            # spread: catches low-frequency collapse the extractor can
+            # miss). Near 1.0 = generator emits near-identical clips.
+            from mocogan_tpu.eval import video_metrics
+
+            out["gen_pairwise_ssim"] = video_metrics.pairwise_ssim_diversity(
+                vids[:min(n, 32)], max_pairs=32)
         if self.cfg.model.use_video_discriminator:
             m = min(n, 64)  # one dispatch each; enough for a mean logit
             if self._dv_logit_fn is None:
