@@ -115,11 +115,18 @@ def _loss_fn(params: Dict[str, Any], bn: Dict[str, Any], real: jax.Array,
     g_di, _ = discriminators.image_apply(di_sg, bn_di_sg, fake_frame, m,
                                          train=True)
     loss_g = losses.g_loss(g_di)
+    # Per-discriminator G-loss breakdown: when loss_gen drifts on long
+    # runs, the components say WHICH discriminator saturates against G
+    # (the balance analysis in docs/results/balance_r4 needs this; the
+    # extra scalars are free — XLA already has both softplus values).
+    metrics["loss_gen_di"] = loss_g
     if m.use_video_discriminator:
         dv_sg, bn_dv_sg = _sg(params["dv"]), _sg(bn["dv"])
         g_dv, cls_fake, _ = discriminators.video_apply(dv_sg, bn_dv_sg, fake,
                                                        m, train=True)
-        loss_g = loss_g + losses.g_loss(g_dv)
+        g_dv_loss = losses.g_loss(g_dv)
+        metrics["loss_gen_dv"] = g_dv_loss
+        loss_g = loss_g + g_dv_loss
         if m.conditional:
             aux_g = losses.categorical_loss(cls_fake, fake_labels)
             loss_g = loss_g + cfg.train.aux_loss_weight * aux_g
@@ -257,10 +264,13 @@ def _sequential_train_step(state: TrainState, real: jax.Array,
         g_di, _ = discriminators.image_apply(
             new_params["di"], bn_d["di"], fake_frame, m, train=True)
         loss_g = losses.g_loss(g_di)
+        metrics["loss_gen_di"] = loss_g  # same breakdown as simultaneous
         if m.use_video_discriminator:
             g_dv, cls_fake, _ = discriminators.video_apply(
                 new_params["dv"], bn_d["dv"], fake, m, train=True)
-            loss_g = loss_g + losses.g_loss(g_dv)
+            g_dv_loss = losses.g_loss(g_dv)
+            metrics["loss_gen_dv"] = g_dv_loss
+            loss_g = loss_g + g_dv_loss
             if m.conditional:
                 aux_g = losses.categorical_loss(cls_fake, fake_labels)
                 loss_g = loss_g + t.aux_loss_weight * aux_g

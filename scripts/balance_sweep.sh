@@ -21,7 +21,7 @@ run() {
   echo "=== cell $name ==="
   # timeout: a hung tunnel (docs/PERFORMANCE.md third failure mode) must
   # cost one cell, not wedge the whole sweep.
-  timeout "${CELL_TIMEOUT:-1800}" python train.py --config mug \
+  timeout "${CELL_TIMEOUT:-2700}" python train.py --config mug \
     --data-dir "$STORE" \
     --total-steps "$STEPS" --no-resume --out-dir "$OUT/$name" \
     --set train.eval_every=2000 "$@" \
