@@ -175,26 +175,38 @@ def generate_fast(params: Params, state: State, key: jax.Array, n: int,
     return _generate_jit(cfg, n, video_length)(params, state, key, labels)
 
 
-def generate_chunked(params: Params, state: State, key: jax.Array, n: int,
-                     cfg: ModelConfig, *, chunk: int = 64):
-    """``generate_fast`` in bounded chunks -> one host (N, T, H, W, C)
-    float32 array. Chunk i uses ``fold_in(key, i)``; at most two programs
-    compile (the chunk size and a remainder). Bounds peak HBM for large N
-    (256 eval clips at the scaled geometry would be ~1 GB in one dispatch)
-    — used by the trainer's FVD hook and the eval CLIs."""
-    import numpy as np
-
+def generate_chunked_device(params: Params, state: State, key: jax.Array,
+                            n: int, cfg: ModelConfig, *, chunk: int = 64
+                            ) -> jax.Array:
+    """``generate_fast`` in bounded chunks, result left ON DEVICE as one
+    (N, T, H, W, C) float32 array. Chunk i uses ``fold_in(key, i)``; at
+    most two programs compile (the chunk size and a remainder). Bounds
+    peak HBM during generation for large N while avoiding any
+    device->host transfer — the trainer's eval panel consumes the clips
+    on device (feature extractor, D_V margin, SSIM), so fetching them to
+    the host first cost ~200 MB of tunnel traffic per eval (measured
+    35-120 s stalls every eval in the round-4 balance sweep)."""
     if n <= 0:
         raise ValueError(f"generate_chunked needs n >= 1, got {n}")
     out = []
     done = i = 0
     while done < n:
         m = min(chunk, n - done)
-        out.append(np.asarray(jax.device_get(generate_fast(
-            params, state, jax.random.fold_in(key, i), m, cfg))))
+        out.append(generate_fast(params, state,
+                                 jax.random.fold_in(key, i), m, cfg))
         done += m
         i += 1
-    return np.concatenate(out)
+    return out[0] if len(out) == 1 else jnp.concatenate(out)
+
+
+def generate_chunked(params: Params, state: State, key: jax.Array, n: int,
+                     cfg: ModelConfig, *, chunk: int = 64):
+    """``generate_chunked_device`` fetched to one host float32 array —
+    for the CLIs and callers that need numpy."""
+    import numpy as np
+
+    return np.asarray(jax.device_get(
+        generate_chunked_device(params, state, key, n, cfg, chunk=chunk)))
 
 
 def to_uint8(videos: jax.Array) -> jax.Array:

@@ -74,6 +74,7 @@ class Trainer:
         self._fvd_extractor = None
         self._fvd_warned = False
         self._dv_logit_fn = None  # jitted eval-mode D_V mean logit
+        self._eval_pool_dev = None  # (host pool ref, device copy) cache
         self._hooks: list = []
 
     def add_hook(self, every: int, fn) -> None:
@@ -162,10 +163,19 @@ class Trainer:
             print(f"[trainer] WARNING: fvd_proxy from {n} clips < 4x the "
                   f"{self._fvd_extractor.dim}-dim extractor ({want}); the "
                   f"covariance estimate will be noise-dominated")
-        vids = generator.generate_chunked(
+        # Everything below consumes the generated clips ON DEVICE: only
+        # 64-dim features and scalar margins cross the tunnel (fetching
+        # the clips to host first cost ~200 MB / 35-120 s per eval).
+        vids = generator.generate_chunked_device(
             self.state.params["gen"], self.state.bn["gen"], self._eval_key,
             n, self.cfg.model)
-        real = real_pool[:n]
+        # Device copy of the real pool, cached while the SAME pool object
+        # recurs (the device-cache path reuses one pool all run — one
+        # upload total instead of ~50 MB per eval).
+        if self._eval_pool_dev is None or \
+                self._eval_pool_dev[0] is not real_pool:
+            self._eval_pool_dev = (real_pool, jnp.asarray(real_pool[:n]))
+        real = self._eval_pool_dev[1]
         feats_gen = fvd_mod.batched_features(vids, self._fvd_extractor)
         feats_real = fvd_mod.batched_features(real, self._fvd_extractor)
         mu_g, s_g = fvd_mod.gaussian_statistics(feats_gen)
