@@ -118,6 +118,14 @@ def stage_preflight(args):
 
 def stage_cpu_oracle(args):
     key = f"{BENCH_CFG['config']}_b{BENCH_CFG['batch_size']}"
+    # BENCH_OVERRIDES (test hook) changes the measured geometry — key the
+    # cache by it so a tiny-geometry test run can never poison the
+    # flagship anchor in .bench_cpu_baseline.json.
+    ov = os.environ.get("BENCH_OVERRIDES", "")
+    if ov and ov != "{}":
+        import hashlib
+
+        key += "_ov" + hashlib.sha1(ov.encode()).hexdigest()[:8]
     for path, getter in ((CACHE, lambda d: d),
                          (ORACLE, lambda d: d.get("values", {}))):
         if os.path.exists(path):
@@ -423,6 +431,22 @@ def main():
         pv = run_tpu_stage("pallas_verify", {}, budget, diag, extra)
         extra["pallas_verified_on_device"] = bool(
             pv and pv.get("pallas_verified_on_device"))
+        # Disambiguate "kernel diverged on chip" (stage errored — the
+        # loud failure the old in-process check raised for) from "not a
+        # TPU backend" / "stage timed out": a driver must not need to
+        # parse free-text to notice a WRONG production kernel.
+        st = diag.get("pallas_verify", {})
+        if pv and not pv.get("pallas_verified_on_device"):
+            extra["pallas_check"] = pv.get("reason", "not_verified")
+        elif pv:
+            extra["pallas_check"] = "verified"
+        elif st.get("timeout"):
+            extra["pallas_check"] = "stage_timeout"
+        elif st.get("skipped"):
+            extra["pallas_check"] = f"skipped:{st['skipped']}"
+        else:
+            extra["pallas_check"] = "KERNEL_CHECK_FAILED"
+            extra["pallas_error"] = st.get("error", "")[-400:]
 
         if _flag("BENCH_BF16"):
             bf16 = run_tpu_stage("train", {"dtype": "bfloat16"}, budget,

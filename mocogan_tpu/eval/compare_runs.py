@@ -67,8 +67,13 @@ def series(log: Sequence[Dict], key: str) -> Tuple[np.ndarray, np.ndarray]:
 
 def shared_keys(a: Sequence[Dict], b: Sequence[Dict]) -> List[str]:
     def keys(log):
+        # *_dim keys are metric METADATA (e.g. fvd_proxy_dim, the
+        # extractor dimension logged alongside every eval record), not
+        # curves — comparing them would dilute mean_nabc with a constant
+        # zero and add a flat panel to the overlay.
         return {k for r in log for k in r
                 if k.startswith(("loss", "fvd"))
+                and not k.endswith("_dim")
                 and isinstance(r[k], (int, float))}
     return sorted(keys(a) & keys(b))
 

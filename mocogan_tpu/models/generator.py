@@ -181,7 +181,9 @@ def generate_chunked_device(params: Params, state: State, key: jax.Array,
     """``generate_fast`` in bounded chunks, result left ON DEVICE as one
     (N, T, H, W, C) float32 array. Chunk i uses ``fold_in(key, i)``; at
     most two programs compile (the chunk size and a remainder). Bounds
-    peak HBM during generation for large N while avoiding any
+    GENERATION activations to one chunk, but keeps all N result clips
+    resident (size N to HBM: 256 flagship clips ~ 200 MB, 256 scaled ~
+    1 GB; use generate_chunked for larger N on the host). Avoids any
     device->host transfer — the trainer's eval panel consumes the clips
     on device (feature extractor, D_V margin, SSIM), so fetching them to
     the host first cost ~200 MB of tunnel traffic per eval (measured
@@ -201,12 +203,25 @@ def generate_chunked_device(params: Params, state: State, key: jax.Array,
 
 def generate_chunked(params: Params, state: State, key: jax.Array, n: int,
                      cfg: ModelConfig, *, chunk: int = 64):
-    """``generate_chunked_device`` fetched to one host float32 array —
-    for the CLIs and callers that need numpy."""
+    """``generate_fast`` in bounded chunks -> one host (N, T, H, W, C)
+    float32 array, fetching each chunk as it completes so peak HBM stays
+    ~one chunk (1024 clips at the scaled geometry would be ~8 GB if
+    accumulated on device) — for the CLIs and callers that need numpy.
+    Same chunk/key schedule as ``generate_chunked_device``, so the two
+    paths produce identical clips."""
     import numpy as np
 
-    return np.asarray(jax.device_get(
-        generate_chunked_device(params, state, key, n, cfg, chunk=chunk)))
+    if n <= 0:
+        raise ValueError(f"generate_chunked needs n >= 1, got {n}")
+    out = []
+    done = i = 0
+    while done < n:
+        m = min(chunk, n - done)
+        out.append(np.asarray(jax.device_get(generate_fast(
+            params, state, jax.random.fold_in(key, i), m, cfg))))
+        done += m
+        i += 1
+    return np.concatenate(out)
 
 
 def to_uint8(videos: jax.Array) -> jax.Array:

@@ -62,7 +62,11 @@ class Trainer:
         self.logger = MetricLogger(self.out_dir)
         self.ckpt = CheckpointManager(
             os.path.join(self.out_dir, "checkpoints"),
-            max_to_keep=cfg.train.keep_checkpoints)
+            max_to_keep=cfg.train.keep_checkpoints,
+            # epoch_shuffle changes batch_plan's (seed, step)->clip
+            # mapping, so it is part of the stream identity the resume
+            # warning must compare (round-4 flipped its default).
+            stream_meta={"epoch_shuffle": cfg.data.epoch_shuffle})
 
         state = train_state.create(cfg)
         if resume and self.ckpt.latest_step() is not None:
@@ -270,6 +274,14 @@ class Trainer:
         pool for the FVD hook, at the generated resolution.
         """
         cfg = self.cfg
+        if cfg.train.eval_every and cfg.train.eval_clips < 1:
+            # Static config error: fail BEFORE the first step, not after
+            # eval_every steps of training (minutes-to-hours at flagship
+            # scale) have been burned.
+            raise ValueError(
+                f"train.eval_clips must be >= 1 when eval_every="
+                f"{cfg.train.eval_every} is set (got "
+                f"{cfg.train.eval_clips})")
         acc: Optional[Dict[str, jax.Array]] = None  # on-device metric sums
         n_acc = 0  # in steps
         t_window = time.time()
@@ -299,14 +311,6 @@ class Trainer:
             if self._crossed(cfg.train.sample_every, prev, step):
                 self.save_samples(step)
             if self._crossed(cfg.train.eval_every, prev, step):
-                if cfg.train.eval_clips < 1:
-                    # Fail here, descriptively, instead of letting an empty
-                    # pool surface as np.concatenate's opaque ValueError
-                    # inside eval_pool_fn (ADVICE r3 #2).
-                    raise ValueError(
-                        f"train.eval_clips must be >= 1 when eval_every="
-                        f"{cfg.train.eval_every} is set (got "
-                        f"{cfg.train.eval_clips})")
                 panel = self.eval_metrics(eval_pool_fn())
                 # fvd_proxy depends on the extractor dimension (64 since
                 # round 3; 256 in rounds 1-2) — record it so artifacts are
@@ -382,9 +386,13 @@ class Trainer:
 
         def eval_pool_fn():
             if k == 1:
-                return np.concatenate(
-                    [np.asarray(jax.device_get(r))
-                     for r in recent])[:cfg.train.eval_clips]
+                # Concatenate ON DEVICE: the deque already holds device
+                # refs, and eval_metrics consumes the pool on device —
+                # a host round-trip here would re-pay the very tunnel
+                # traffic the device-resident eval removed.
+                pool = (recent[0] if len(recent) == 1
+                        else jnp.concatenate(list(recent), axis=0))
+                return pool[:cfg.train.eval_clips]
             real = current["batch"][0]
             if real.dtype == jnp.uint8:
                 # raw stack: run the jitted ingest on as many sub-batches

@@ -49,8 +49,15 @@ def _from_saveable(tree: dict) -> "TrainState":
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 stream_meta: Optional[dict] = None):
+        """stream_meta: extra facts that determine the (seed, step)->clip
+        stream beyond the code version — e.g. data.epoch_shuffle, whose
+        value changes batch_plan's mapping for the same seed. Recorded in
+        the sidecar and compared on restore."""
         self.directory = os.path.abspath(directory)
+        self.stream_meta = {"data_stream_version": DATA_STREAM_VERSION,
+                            **(stream_meta or {})}
         os.makedirs(self.directory, exist_ok=True)
         self._mngr = ocp.CheckpointManager(
             self.directory,
@@ -67,7 +74,7 @@ class CheckpointManager:
         sidecar = os.path.join(self.directory, "stream_version.json")
         if jax.process_index() == 0 and not os.path.exists(sidecar):
             with open(sidecar, "w") as f:
-                json.dump({"data_stream_version": DATA_STREAM_VERSION}, f)
+                json.dump(self.stream_meta, f)
         if wait:
             self._mngr.wait_until_finished()
         return step
@@ -82,23 +89,25 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         sidecar = os.path.join(self.directory, "stream_version.json")
-        saved_ver = None
+        saved_meta = None
         if os.path.exists(sidecar):
             try:
-                saved_ver = json.load(open(sidecar)).get(
-                    "data_stream_version")
+                saved_meta = json.load(open(sidecar))
             except ValueError:
                 pass
-        if saved_ver != DATA_STREAM_VERSION:
-            # Pre-sidecar checkpoints (None) are version <= 2's
-            # predecessor or round-3 saves; either way the stream identity
-            # is unverifiable — say so instead of implying bit-continuity.
+        if saved_meta != self.stream_meta:
+            # Pre-sidecar checkpoints (None) are round-3-or-earlier
+            # saves; a differing dict is a stream-version bump OR a
+            # stream-shaping config change (e.g. epoch_shuffle flipped —
+            # the round-4 default change is exactly this hazard). Either
+            # way the stream identity differs — say so instead of
+            # implying bit-continuity.
             print(f"[checkpoint] WARNING: checkpoint was saved under "
-                  f"data-stream version {saved_ver} but this code runs "
-                  f"version {DATA_STREAM_VERSION}: resumed training "
-                  f"continues on a DIFFERENT clip-window stream for the "
-                  f"same seed (model/optimizer state restore exactly; "
-                  f"only the data order diverges).")
+                  f"data-stream identity {saved_meta} but this run uses "
+                  f"{self.stream_meta}: resumed training continues on a "
+                  f"DIFFERENT clip-window stream for the same seed "
+                  f"(model/optimizer state restore exactly; only the "
+                  f"data order diverges).")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
                                 _to_saveable(template))
         tree = self._mngr.restore(step,

@@ -6,7 +6,7 @@
 # (one chip, one CPU core — see docs/PERFORMANCE.md on contention).
 #
 # Usage: bash scripts/balance_sweep.sh [STEPS] [OUTROOT]
-set -e
+set -e -o pipefail
 STEPS=${1:-30000}
 OUT=${2:-/tmp/balance_r4}
 STORE=/tmp/synth96

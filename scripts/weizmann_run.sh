@@ -6,7 +6,7 @@
 # healthy chip.
 #
 # Usage: bash scripts/weizmann_run.sh [STEPS] [OUT]
-set -e
+set -e -o pipefail
 STEPS=${1:-10000}
 OUT=${2:-/tmp/weizmann10k_r4}
 STORE=/tmp/synth96w

@@ -114,20 +114,27 @@ def test_mid_run_tunnel_death_stops_burning_budget(tmp_path):
 def test_healthy_cpu_run_emits_full_headline(tmp_path):
     """With no fake hang, the subprocess-staged bench must still produce a
     real headline (CPU backend; tiny budget-friendly stage set)."""
+    import hashlib
+
+    # Tiny geometry + short windows: the contract under test is the
+    # parent/child protocol, not flagship throughput.
+    overrides = json.dumps({
+        "model.image_size": 32, "model.video_length": 8,
+        "model.gen_features": 8, "model.disc_features": 8,
+        "train.batch_size": 8})
+    # The oracle cache is keyed by the overrides hash so a tiny-geometry
+    # test can never poison the flagship anchor — prefill the suffixed
+    # key this run will look up.
+    key = "mug_b16_ov" + hashlib.sha1(overrides.encode()).hexdigest()[:8]
     cache = tmp_path / "cpu_cache.json"
-    cache.write_text(json.dumps({"mug_b16": 0.002}))
+    cache.write_text(json.dumps({key: 0.002}))
     env = dict(
         os.environ,
         BENCH_CPU_CACHE=str(cache),
         BENCH_BF16="0", BENCH_SCAN="0", BENCH_BATCHES="0",
         BENCH_GENERATE="0",
         BENCH_BUDGET_SEC="900",
-        # Tiny geometry + short windows: the contract under test is the
-        # parent/child protocol, not flagship throughput.
-        BENCH_OVERRIDES=json.dumps({
-            "model.image_size": 32, "model.video_length": 8,
-            "model.gen_features": 8, "model.disc_features": 8,
-            "train.batch_size": 8}),
+        BENCH_OVERRIDES=overrides,
         BENCH_STEPS="2", BENCH_WARMUP="1",
     )
     out = subprocess.run([sys.executable, BENCH], capture_output=True,

@@ -63,6 +63,14 @@ def test_disjoint_step_ranges_raise():
         cr.compare(a, b)
 
 
+def test_metadata_dim_keys_are_not_compared():
+    log = [{"step": s, "loss_gen": float(s), "fvd_proxy": 1.0,
+            "fvd_proxy_dim": 64.0} for s in range(0, 100, 10)]
+    rep = cr.compare(log, log)
+    assert "fvd_proxy_dim" not in rep["keys"]
+    assert set(rep["keys"]) == {"loss_gen", "fvd_proxy"}
+
+
 def test_series_drops_missing_and_keeps_last_duplicate():
     log = [{"step": 0, "loss_gen": 1.0}, {"step": 10, "other": 2.0},
            {"step": 10, "loss_gen": 3.0}, {"step": 10, "loss_gen": 4.0}]
