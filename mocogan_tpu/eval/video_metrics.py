@@ -99,6 +99,56 @@ def clip_ssim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(ssim(a, b), axis=-1)
 
 
+def frame_content_features(videos: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame content descriptor: spatial mean per channel.
+
+    (..., T, H, W, C) in [-1, 1] -> (..., T, C) in [0, 1]. This is the
+    pixel-space descriptor the MoCoGAN paper uses for ACD on non-face
+    datasets (per-frame average color); for faces the paper substitutes
+    OpenFace embeddings — pass such features directly to
+    ``acd_from_features`` when an embedding model is available.
+    """
+    return jnp.mean(_to_unit(jnp.asarray(videos, jnp.float32)),
+                    axis=(-3, -2))
+
+
+@jax.jit
+def acd_from_features(feats: jnp.ndarray) -> jnp.ndarray:
+    """Average Content Distance from per-frame features.
+
+    feats: (B, T, D). For each clip: mean L2 distance over all ordered
+    frame pairs (i != j); returned as the mean over clips. 0 means the
+    content descriptor is constant through time (perfectly preserved
+    identity); large values mean the clip's content drifts frame to
+    frame — the failure mode MoCoGAN's content/motion decomposition is
+    designed to prevent, and the reason the paper reports this metric.
+    """
+    feats = jnp.asarray(feats, jnp.float32)
+    if feats.ndim != 3:
+        raise ValueError(f"expected (B, T, D) features, got {feats.shape}")
+    t = feats.shape[1]
+    if t < 2:
+        raise ValueError(f"need >= 2 frames for ACD, got {t}")
+    d = jnp.linalg.norm(feats[:, :, None, :] - feats[:, None, :, :],
+                        axis=-1)                       # (B, T, T)
+    off = jnp.sum(d, axis=(-2, -1)) / (t * (t - 1))    # diagonal is 0
+    return jnp.mean(off)
+
+
+def acd(videos: jnp.ndarray, feature_fn=None) -> float:
+    """Average Content Distance of (B, T, H, W, C) clips in [-1, 1].
+
+    The MoCoGAN paper's quantitative metric (Tulyakov et al. 2018, §4:
+    lower = better content consistency across frames of one video).
+    feature_fn maps videos -> (B, T, D) per-frame features; default is
+    the pixel-space mean-color descriptor. Report alongside the same
+    metric on real clips — the real-data ACD is the anchor (natural
+    videos have nonzero content drift from motion alone).
+    """
+    feats = (feature_fn or frame_content_features)(videos)
+    return float(acd_from_features(feats))
+
+
 def pairwise_ssim_diversity(videos: jnp.ndarray, max_pairs: int = 64,
                             seed: int = 0) -> float:
     """Mode-collapse probe: mean SSIM over random DISTINCT clip pairs.

@@ -142,12 +142,15 @@ def resize_normalize(video_u8: jax.Array, out_size: int,
 
 
 def resize_normalize_sharded(video_u8: jax.Array, out_size: int,
-                             mesh, axis_name: str = "data",
+                             mesh, axis_name=None,
                              use_pallas=None) -> jax.Array:
     """Batch-sharded fused preproc: runs the per-shard kernel under
     shard_map so the Pallas path works on multi-device meshes (GSPMD cannot
     auto-partition a pallas_call; manual sharding can — each device
-    processes its own batch shard locally, no collectives needed)."""
+    processes its own batch shard locally, no collectives needed).
+
+    axis_name defaults to ALL mesh axes (pure-DP batch layout on both the
+    1-D ``(data,)`` and multi-slice ``(dcn, data)`` meshes)."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -158,6 +161,8 @@ def resize_normalize_sharded(video_u8: jax.Array, out_size: int,
     def local_fn(v):
         return resize_normalize(v, out_size, use_pallas=use_pallas)
 
+    if axis_name is None:
+        axis_name = tuple(mesh.axis_names)
     spec = P(axis_name, *([None] * (video_u8.ndim - 1)))
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes info
     return shard_map(local_fn, mesh=mesh, in_specs=(spec,),

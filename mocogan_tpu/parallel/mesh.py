@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"  # outer axis of a multi-slice (cross-DCN) mesh
 
 
 def initialize_distributed() -> None:
@@ -56,19 +57,47 @@ def initialize_distributed() -> None:
 
 
 def make_mesh(num_devices: Optional[int] = None,
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+              devices: Optional[Sequence[jax.Device]] = None,
+              n_slices: int = 1) -> Mesh:
+    """1-D ``(data,)`` mesh, or — with ``n_slices > 1`` — a 2-D
+    ``(dcn, data)`` mesh for multi-slice training.
+
+    Multi-slice: the outer axis enumerates TPU slices connected over DCN,
+    the inner axis the chips within each slice connected over ICI. Pure
+    data parallelism shards the batch over BOTH axes (`batch_sharding`
+    returns P((dcn, data))), so GSPMD lowers the gradient all-reduce
+    hierarchically: reduce-scatter + all-gather within each slice rides
+    ICI, and only one ~param-sized exchange per step crosses DCN — the
+    standard multi-slice recipe (docs/SCALING.md §5). Device order from
+    `jax.devices()` already groups each slice's chips contiguously, so
+    the reshape below maps rows to physical slices."""
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
         if num_devices > len(devs):
             raise ValueError(
                 f"requested {num_devices} devices, have {len(devs)}")
         devs = devs[:num_devices]
-    return Mesh(np.asarray(devs), (DATA_AXIS,))
+    if n_slices <= 1:
+        return Mesh(np.asarray(devs), (DATA_AXIS,))
+    if len(devs) % n_slices:
+        raise ValueError(f"{len(devs)} devices not divisible into "
+                         f"{n_slices} slices")
+    return Mesh(np.asarray(devs).reshape(n_slices, -1),
+                (DCN_AXIS, DATA_AXIS))
+
+
+def batch_axes(mesh: Mesh):
+    """Mesh axes the batch dimension is sharded over — every axis: pure
+    DP on the 1-D mesh, hierarchical (slice-major) DP on the 2-D mesh.
+    Returns the bare axis name on 1-D meshes so specs stay identical to
+    the single-axis form P("data")."""
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis split across the data mesh."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading (batch) axis split across the data (and dcn) mesh axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -152,7 +181,7 @@ def make_sharded_multi_train_step(cfg, mesh: Mesh, use_pallas=None):
     from mocogan_tpu.train.step import multi_train_step
 
     rep = replicated(mesh)
-    bsh = NamedSharding(mesh, P(None, DATA_AXIS))
+    bsh = NamedSharding(mesh, P(None, batch_axes(mesh)))
     if use_pallas is None:
         use_pallas = _pallas_default()
 
@@ -195,7 +224,7 @@ def make_cached_train_step(cfg, mesh: Mesh, k: int, use_pallas=None):
 
 def shard_stacked_batch(mesh: Mesh, *arrays: Any) -> Tuple[jax.Array, ...]:
     """Place (K, B, ...) host stacks onto the mesh, B axis sharded."""
-    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    sh = NamedSharding(mesh, P(None, batch_axes(mesh)))
     if jax.process_count() > 1:
         def put(a):
             return jax.make_array_from_process_local_data(sh, np.asarray(a))

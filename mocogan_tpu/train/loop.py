@@ -150,8 +150,13 @@ class Trainer:
           directly: a huge margin means D separates real from fake easily
           (G far behind) even when both losses sit at the smoothing
           floor; ~0 means D can no longer tell.
+        * ``acd_gen`` / ``acd_real`` — Average Content Distance (the
+          MoCoGAN paper's own metric): per-clip content drift across
+          frames; generated clips should approach the real-data anchor
+          from either side (0 would mean frozen videos).
         """
         from mocogan_tpu.eval import fvd as fvd_mod
+        from mocogan_tpu.eval import video_metrics
         from mocogan_tpu.models import discriminators
 
         n = min(self.cfg.train.eval_clips, len(real_pool))
@@ -178,7 +183,11 @@ class Trainer:
         # upload total instead of ~50 MB per eval).
         if self._eval_pool_dev is None or \
                 self._eval_pool_dev[0] is not real_pool:
-            self._eval_pool_dev = (real_pool, jnp.asarray(real_pool[:n]))
+            dev = jnp.asarray(real_pool[:n])
+            # The real-data ACD anchor is constant per pool — compute it
+            # once at pool upload, not every eval.
+            self._eval_pool_dev = (real_pool, dev,
+                                   video_metrics.acd(dev))
         real = self._eval_pool_dev[1]
         feats_gen = fvd_mod.batched_features(vids, self._fvd_extractor)
         feats_real = fvd_mod.batched_features(real, self._fvd_extractor)
@@ -188,12 +197,14 @@ class Trainer:
         spread_g = float(np.mean(np.linalg.norm(feats_gen - mu_g, axis=1)))
         spread_r = float(np.mean(np.linalg.norm(feats_real - mu_r, axis=1)))
         out["gen_spread_ratio"] = spread_g / max(spread_r, 1e-12)
+        # ACD (the paper's metric): content drift within generated clips
+        # vs the real-data anchor (cached with the pool upload above).
+        out["acd_gen"] = video_metrics.acd(vids)
+        out["acd_real"] = self._eval_pool_dev[2]
         if n >= 2:
             # Pixel-space collapse probe (complements the feature-space
             # spread: catches low-frequency collapse the extractor can
             # miss). Near 1.0 = generator emits near-identical clips.
-            from mocogan_tpu.eval import video_metrics
-
             out["gen_pairwise_ssim"] = video_metrics.pairwise_ssim_diversity(
                 vids[:min(n, 32)], max_pairs=32)
         if self.cfg.model.use_video_discriminator:

@@ -98,6 +98,60 @@ def test_batch_sharding_layout(tiny_cfg, tiny_batch):
     assert shard.data.shape[0] == vids.shape[0] // 8
 
 
+def test_multislice_mesh_shape_and_errors():
+    m = pmesh.make_mesh(8, n_slices=2)
+    assert m.devices.shape == (2, 4)
+    assert m.axis_names == (pmesh.DCN_AXIS, pmesh.DATA_AXIS)
+    with pytest.raises(ValueError, match="not divisible"):
+        pmesh.make_mesh(6, n_slices=4)
+
+
+def test_multislice_step_matches_single_device(tiny_cfg, tiny_batch):
+    """Hierarchical DP over a (dcn, data) 2x4 mesh computes the same step
+    as one device on the concatenated batch — GSPMD preserves semantics
+    across the DCN axis exactly as it does within a slice, so multi-slice
+    training preserves loss curves by the same construction as B1."""
+    vids, _ = tiny_batch
+
+    s1 = train_state.create(tiny_cfg)
+    fn1 = train_step.jitted_train_step(tiny_cfg)
+    s1, m1 = fn1(s1, jnp.asarray(vids), None)
+
+    mesh = pmesh.make_mesh(8, n_slices=2)
+    s8 = pmesh.shard_state(mesh, train_state.create(tiny_cfg))
+    fn8 = pmesh.make_sharded_train_step(tiny_cfg, mesh)
+    real = pmesh.shard_batch(mesh, vids)
+    # batch axis spans BOTH mesh axes: 8 shards of B/8 clips each
+    assert real.sharding.spec == jax.sharding.PartitionSpec(
+        (pmesh.DCN_AXIS, pmesh.DATA_AXIS))
+    assert real.addressable_shards[0].data.shape[0] == vids.shape[0] // 8
+    s8, m8 = fn8(s8, real, None)
+
+    m1, m8 = jax.device_get((m1, m8))
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
+
+
+def test_multislice_cached_step_runs(tiny_cfg, tiny_batch):
+    """The device-cache production path (on-device sampling + fused
+    interpret-mode Pallas ingest under shard_map + scanned update) on the
+    2-D mesh — shard_map's in_specs must span both axes."""
+    vids, _ = tiny_batch
+    mesh = pmesh.make_mesh(8, n_slices=2)
+    s = pmesh.shard_state(mesh, train_state.create(tiny_cfg))
+    pool = np.clip((vids + 1) * 127.5, 0, 255).astype(np.uint8)
+    lengths = np.full((pool.shape[0],), pool.shape[1], np.int32)
+    rep = pmesh.replicated(mesh)
+    fn = pmesh.make_cached_train_step(tiny_cfg, mesh, 2,
+                                      use_pallas="interpret")
+    s, m = fn(s, jax.device_put(pool, rep), jax.device_put(lengths, rep),
+              None)
+    m = jax.device_get(m)
+    assert int(jax.device_get(s.step)) == 2
+    assert all(np.isfinite(v) for v in m.values()), m
+
+
 def test_local_batch_slice_partitions_global_batch(monkeypatch):
     """Multi-host input sharding: each process uploads only its contiguous
     slice of the deterministic global batch (loop.py feeds the FULL batch

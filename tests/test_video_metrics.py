@@ -89,3 +89,47 @@ def test_pairwise_diversity_detects_collapse():
 def test_ssim_shape_mismatch_raises():
     with pytest.raises(ValueError, match="shape mismatch"):
         vm.ssim(np.zeros((1, 16, 16, 1)), np.zeros((1, 16, 17, 1)))
+
+
+# -- Average Content Distance (the MoCoGAN paper's metric) ----------------
+
+
+def test_acd_zero_for_static_video():
+    # identical frames -> zero content drift by definition
+    frame = _frames(9, n=1)[0]
+    vids = np.broadcast_to(frame, (3, 5, *frame.shape)).copy()
+    assert vm.acd(vids) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_acd_known_value_two_frames():
+    # two constant frames at unit-space 0.2 and 0.5: the mean-color
+    # features differ by 0.3 in every channel -> L2 = 0.3 * sqrt(C)
+    c = 3
+    v = np.zeros((1, 2, 8, 8, c), np.float32)
+    v[:, 0] = 0.2 * 2 - 1
+    v[:, 1] = 0.5 * 2 - 1
+    assert vm.acd(v) == pytest.approx(0.3 * np.sqrt(c), abs=1e-5)
+
+
+def test_acd_monotone_in_content_drift():
+    rng = np.random.default_rng(10)
+    base = rng.uniform(-1, 1, size=(4, 1, 16, 16, 3)).astype(np.float32)
+    drift = rng.normal(size=(4, 6, 1, 1, 3)).astype(np.float32)
+    small = np.clip(base + 0.02 * drift, -1, 1)
+    big = np.clip(base + 0.3 * drift, -1, 1)
+    assert vm.acd(big) > vm.acd(small) > 0.0
+
+
+def test_acd_custom_feature_fn():
+    vids = np.random.default_rng(12).uniform(
+        -1, 1, size=(2, 4, 8, 8, 3)).astype(np.float32)
+    # constant custom features -> 0 regardless of pixels
+    fn = lambda v: np.ones((v.shape[0], v.shape[1], 7), np.float32)  # noqa
+    assert vm.acd(vids, feature_fn=fn) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_acd_rejects_degenerate_inputs():
+    with pytest.raises(ValueError, match="frames"):
+        vm.acd(np.zeros((2, 1, 8, 8, 3), np.float32))
+    with pytest.raises(ValueError, match="features"):
+        vm.acd_from_features(np.zeros((2, 4), np.float32))
