@@ -125,6 +125,12 @@ class TrainConfig:
     # Data parallelism over ICI (BASELINE B1): number of devices to shard
     # the batch over. None => use all visible devices.
     num_devices: Optional[int] = None
+    # Multi-slice (DCN x ICI) training: >1 builds the 2-D (dcn, data) mesh
+    # (parallel/mesh.make_mesh; slice rows grouped by device.slice_index on
+    # real multi-slice hardware). Batch spans both axes — hierarchical
+    # all-reduce: intra-slice over ICI, one param-sized exchange over DCN.
+    # 1 = single-slice (the only topology this host can run for real).
+    n_slices: int = 1
 
     # Adversarial steps executed per host dispatch (lax.scan inside one
     # program). >1 amortizes dispatch latency — essential on remote-tunnel

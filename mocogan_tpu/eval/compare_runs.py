@@ -78,6 +78,18 @@ def shared_keys(a: Sequence[Dict], b: Sequence[Dict]) -> List[str]:
     return sorted(keys(a) & keys(b))
 
 
+def eval_fingerprints(log: Sequence[Dict]) -> List[str]:
+    """Distinct eval_fingerprint values in record order (round 5+: every
+    eval-panel record carries one — EVAL_VERSION + extractor-weight hash,
+    eval/fvd.extractor_fingerprint). Older logs return []."""
+    seen: List[str] = []
+    for r in log:
+        fp = r.get("eval_fingerprint")
+        if isinstance(fp, str) and fp not in seen:
+            seen.append(fp)
+    return seen
+
+
 def align(sa: np.ndarray, va: np.ndarray, sb: np.ndarray, vb: np.ndarray,
           n: int = 400) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Interpolate both series onto a uniform grid over the OVERLAPPING
@@ -138,6 +150,23 @@ def compare(log_a: Sequence[Dict], log_b: Sequence[Dict],
     if not keys:
         raise ValueError("no shared loss*/fvd* keys between the two logs")
     report: Dict = {"keys": {}, "_curves": {}}
+    # Eval-version guard (VERDICT r4 weak #4): fvd* values are only
+    # comparable under the SAME eval fingerprint (extractor weights +
+    # EVAL_VERSION). When fingerprints differ — or either run changed
+    # fingerprint mid-run — each fvd key is annotated eval_mismatch and
+    # EXCLUDED from max/mean nabc, so eval-code drift can never read as
+    # training nondeterminism again (the round-4 5Xk compare's fvd nabc
+    # 3.29 was exactly that). Logs predating fingerprints ([]) are
+    # compared as before, flagged "unknown".
+    fp_a, fp_b = eval_fingerprints(log_a), eval_fingerprints(log_b)
+    fvd_status = "comparable"
+    if fp_a or fp_b:
+        if len(fp_a) > 1 or len(fp_b) > 1 or fp_a != fp_b:
+            fvd_status = "eval_mismatch"
+    elif any(k.startswith("fvd") for k in keys):
+        fvd_status = "unknown"
+    report["eval_fingerprints"] = {"a": fp_a, "b": fp_b,
+                                   "fvd_comparability": fvd_status}
     for k in keys:
         sa, va = series(log_a, k)
         sb, vb = series(log_b, k)
@@ -151,10 +180,13 @@ def compare(log_a: Sequence[Dict], log_b: Sequence[Dict],
         d["final_a"] = float(np.mean(a_s[-tail:]))
         d["final_b"] = float(np.mean(b_s[-tail:]))
         d["step_range"] = [float(grid[0]), float(grid[-1])]
+        if k.startswith("fvd") and fvd_status == "eval_mismatch":
+            d["eval_mismatch"] = True
         report["keys"][k] = d
         report["_curves"][k] = {"grid": grid, "raw_a": a, "raw_b": b,
                                 "smooth_a": a_s, "smooth_b": b_s}
-    done = [v for v in report["keys"].values() if "nabc" in v]
+    done = [v for v in report["keys"].values()
+            if "nabc" in v and not v.get("eval_mismatch")]
     report["max_nabc"] = max((v["nabc"] for v in done), default=None)
     report["mean_nabc"] = (float(np.mean([v["nabc"] for v in done]))
                            if done else None)
@@ -182,9 +214,11 @@ def plot_overlay(report: Dict, path: str,
         ax.plot(c["grid"], c["smooth_b"], color="C1", lw=1.8,
                 label=labels[1])
         st = report["keys"][k]
+        note = ("  [EVAL-VERSION MISMATCH: not a training signal]"
+                if st.get("eval_mismatch") else "")
         ax.set_title(f"{k}  —  nabc={st['nabc']:.3f}  "
-                     f"(final: {st['final_a']:.3f} vs {st['final_b']:.3f})",
-                     fontsize=10)
+                     f"(final: {st['final_a']:.3f} vs {st['final_b']:.3f})"
+                     f"{note}", fontsize=10)
         ax.grid(True, alpha=0.3)
         ax.legend(fontsize=8)
     axes[-1, 0].set_xlabel("step")

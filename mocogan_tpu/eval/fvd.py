@@ -31,6 +31,34 @@ import numpy as np
 
 from mocogan_tpu.ops import layers
 
+# Bumped on ANY change to the eval panel's numerical semantics (extractor
+# architecture, feature batching, panel formulas). Round 4 proved that
+# eval-code drift silently invalidates longitudinal fvd_proxy comparisons
+# (docs/results/flagship_5Xk_compare: losses bit-identical, fvd nabc 3.29
+# purely from a mid-round eval change) — so every panel record now carries
+# `extractor_fingerprint(...)`, which hashes this version together with
+# the extractor's actual weights, and eval/compare_runs.py refuses to
+# read fvd divergence as a training signal across differing fingerprints.
+# History: 1 = rounds 1-2 (dim 256); 2 = rounds 3-4 (dim 64, chunked
+# host-side panel); 3 = round 5 (fused single-dispatch panel program —
+# verified numerically equivalent to v2 in tests/test_panel.py).
+EVAL_VERSION = 3
+
+
+def extractor_fingerprint(extractor) -> str:
+    """Self-describing identity of an eval feature extractor:
+    ``v{EVAL_VERSION}-{sha256(dim || weights)[:12]}``. Logged with every
+    eval-panel record so cross-run fvd_proxy comparisons can detect
+    eval-code/extractor drift (VERDICT r4 weak #4)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(str(EVAL_VERSION).encode())
+    h.update(str(getattr(extractor, "dim", "?")).encode())
+    for leaf in jax.tree.leaves(getattr(extractor, "params", {})):
+        h.update(np.asarray(jax.device_get(leaf)).tobytes())
+    return f"v{EVAL_VERSION}-{h.hexdigest()[:12]}"
+
 
 def gaussian_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(N, D) features -> (mean (D,), covariance (D, D))."""

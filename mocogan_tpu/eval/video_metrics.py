@@ -149,15 +149,10 @@ def acd(videos: jnp.ndarray, feature_fn=None) -> float:
     return float(acd_from_features(feats))
 
 
-def pairwise_ssim_diversity(videos: jnp.ndarray, max_pairs: int = 64,
-                            seed: int = 0) -> float:
-    """Mode-collapse probe: mean SSIM over random DISTINCT clip pairs.
-
-    videos: (N, T, H, W, C), N >= 2. Near 1.0 -> the generator emits
-    near-identical clips; healthy diverse samples sit well below.
-    Deterministic (fixed-seed pair choice without replacement).
-    """
-    n = videos.shape[0]
+def pair_indices(n: int, max_pairs: int = 64, seed: int = 0) -> np.ndarray:
+    """Deterministic distinct clip pairs (P, 2) for the diversity probe.
+    Factored out so the fused eval-panel program (eval/panel.py) bakes in
+    EXACTLY the pairs `pairwise_ssim_diversity` would draw."""
     if n < 2:
         raise ValueError(f"need >= 2 clips, got {n}")
     rng = np.random.default_rng(seed)
@@ -167,7 +162,18 @@ def pairwise_ssim_diversity(videos: jnp.ndarray, max_pairs: int = 64,
         i, j = rng.integers(0, n, size=2)
         if i != j:
             seen.add((min(i, j), max(i, j)))
-    idx = np.array(sorted(seen))
+    return np.array(sorted(seen))
+
+
+def pairwise_ssim_diversity(videos: jnp.ndarray, max_pairs: int = 64,
+                            seed: int = 0) -> float:
+    """Mode-collapse probe: mean SSIM over random DISTINCT clip pairs.
+
+    videos: (N, T, H, W, C), N >= 2. Near 1.0 -> the generator emits
+    near-identical clips; healthy diverse samples sit well below.
+    Deterministic (fixed-seed pair choice without replacement).
+    """
+    idx = pair_indices(videos.shape[0], max_pairs, seed)
     s = clip_ssim(jnp.asarray(videos)[idx[:, 0]],
                   jnp.asarray(videos)[idx[:, 1]])
     return float(jnp.mean(s))

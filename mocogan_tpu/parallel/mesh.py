@@ -68,9 +68,15 @@ def make_mesh(num_devices: Optional[int] = None,
     returns P((dcn, data))), so GSPMD lowers the gradient all-reduce
     hierarchically: reduce-scatter + all-gather within each slice rides
     ICI, and only one ~param-sized exchange per step crosses DCN — the
-    standard multi-slice recipe (docs/SCALING.md §5). Device order from
-    `jax.devices()` already groups each slice's chips contiguously, so
-    the reshape below maps rows to physical slices."""
+    standard multi-slice recipe (docs/SCALING.md §5).
+
+    Device assignment (ADVICE r4 #1): on real multi-slice TPU the rows of
+    the 2-D mesh must hold chips of the SAME physical slice or XLA cannot
+    lower the hierarchical all-reduce as intended — `jax.devices()` order
+    is not an API guarantee of that. When devices expose `slice_index`
+    (real multi-slice hardware does), they are grouped by it explicitly;
+    CPU/virtual devices (no slice_index) keep the plain contiguous
+    reshape, which is the emulation fallback the tests exercise."""
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
         if num_devices > len(devs):
@@ -82,8 +88,40 @@ def make_mesh(num_devices: Optional[int] = None,
     if len(devs) % n_slices:
         raise ValueError(f"{len(devs)} devices not divisible into "
                          f"{n_slices} slices")
+    devs = _order_by_slice(devs, n_slices)
     return Mesh(np.asarray(devs).reshape(n_slices, -1),
                 (DCN_AXIS, DATA_AXIS))
+
+
+def _order_by_slice(devs: Sequence[Any], n_slices: int) -> list:
+    """Order devices so each contiguous group of len/n_slices chips lies in
+    one physical slice (rows of the (dcn, data) mesh = slices).
+
+    Uses `device.slice_index` when every device reports one (real
+    multi-slice TPU); requires the slice populations to be balanced and
+    to match n_slices. Devices without slice_index (CPU/virtual meshes,
+    single-slice TPU) are returned unchanged — the caller's contiguous
+    reshape is then an emulation, not a physical DCN mapping."""
+    idx = [getattr(d, "slice_index", None) for d in devs]
+    if any(i is None for i in idx):
+        return list(devs)
+    per = {}
+    for d, i in zip(devs, idx):
+        per.setdefault(i, []).append(d)
+    if len(per) != n_slices:
+        raise ValueError(
+            f"devices span {len(per)} physical slices (slice_index values "
+            f"{sorted(per)}) but n_slices={n_slices}; a (dcn, data) mesh "
+            f"must match the physical slice topology")
+    counts = {i: len(v) for i, v in per.items()}
+    if len(set(counts.values())) != 1:
+        raise ValueError(
+            f"unbalanced slices: {counts} — every slice must contribute "
+            f"the same chip count")
+    out: list = []
+    for i in sorted(per):
+        out.extend(sorted(per[i], key=lambda d: d.id))
+    return out
 
 
 def batch_axes(mesh: Mesh):

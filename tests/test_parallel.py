@@ -172,3 +172,51 @@ def test_local_batch_slice_partitions_global_batch(monkeypatch):
         pmesh.local_batch_slice(mesh, np.arange(15))
     monkeypatch.setattr(jax, "process_count", lambda: 1)
     np.testing.assert_array_equal(pmesh.local_batch_slice(mesh, a), a)
+
+
+def test_order_by_slice_groups_physical_slices():
+    """On real multi-slice hardware the (dcn, data) mesh rows must hold
+    chips of the same physical slice (ADVICE r4 #1). Stub devices carry
+    slice_index; virtual/CPU devices (None) pass through unchanged."""
+    class Dev:
+        def __init__(self, id, slice_index=None):
+            self.id, self.slice_index = id, slice_index
+
+        def __repr__(self):
+            return f"Dev({self.id},{self.slice_index})"
+
+    # interleaved enumeration order -> grouped by slice, id-sorted within
+    devs = [Dev(0, 1), Dev(1, 0), Dev(2, 1), Dev(3, 0)]
+    out = pmesh._order_by_slice(devs, 2)
+    assert [(d.id, d.slice_index) for d in out] == [
+        (1, 0), (3, 0), (0, 1), (2, 1)]
+
+    # no slice_index anywhere (CPU/virtual): unchanged
+    plain = [Dev(i) for i in range(4)]
+    assert pmesh._order_by_slice(plain, 2) == plain
+
+    # topology mismatch: 2 physical slices but n_slices=4
+    with pytest.raises(ValueError, match="physical slices"):
+        pmesh._order_by_slice(devs, 4)
+
+    # unbalanced slices
+    bad = [Dev(0, 0), Dev(1, 0), Dev(2, 0), Dev(3, 1)]
+    with pytest.raises(ValueError, match="unbalanced"):
+        pmesh._order_by_slice(bad, 2)
+
+
+def test_trainer_n_slices_config_builds_2d_mesh(tmp_path, tiny_cfg):
+    """train.n_slices threads from config to the Trainer's mesh
+    (ADVICE r4 #2: the multi-slice mesh must be reachable from production
+    config, not only from tests)."""
+    import dataclasses
+
+    from mocogan_tpu.train.loop import Trainer
+
+    cfg = dataclasses.replace(
+        tiny_cfg, name="msl", out_dir=str(tmp_path),
+        train=dataclasses.replace(tiny_cfg.train, num_devices=4,
+                                  n_slices=2, total_steps=1))
+    tr = Trainer(cfg)
+    assert tr.mesh.axis_names == (pmesh.DCN_AXIS, pmesh.DATA_AXIS)
+    assert tr.mesh.devices.shape == (2, 2)

@@ -185,3 +185,81 @@ def test_get_config_nested_overrides():
     assert cfg.train.batch_size == 2
     # base config untouched (frozen dataclasses are replaced, not mutated)
     assert get_config("toy").model.video_length == 16
+
+
+def test_parity_day_runner(tmp_path, tiny_cfg):
+    """scripts/parity_day.py end to end on synthetic fixtures: reference
+    npz import -> digest -> absolute FVD (random-weight i3d npz) ->
+    comparator, all from ONE command (VERDICT r4 next-round #8). The day
+    real reference files exist, the same invocation with real paths
+    produces the two blocked north-star artifacts."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    import jax
+    import numpy as np
+
+    from mocogan_tpu.eval import i3d
+    from mocogan_tpu.eval import import_chainer as imp
+    from mocogan_tpu.train import state as train_state
+    from mocogan_tpu.utils.checkpoint import CheckpointManager
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_day", os.path.join(os.path.dirname(__file__), "..",
+                                   "scripts", "parity_day.py"))
+    parity_day = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(parity_day)
+
+    cfg = tiny_cfg
+    # "reference" generator npz in Chainer layout (export helper writes
+    # exactly the save_npz convention the importer reads)
+    state = train_state.create(cfg, seed=5)
+    gen_npz = str(tmp_path / "ref_gen.npz")
+    imp.export_net_npz(gen_npz, "gen", jax.device_get(state.params["gen"]),
+                       jax.device_get(state.bn["gen"]), cfg.model)
+    # our run dir
+    run_dir = tmp_path / "run"
+    mngr = CheckpointManager(str(run_dir / "checkpoints"))
+    mngr.save(train_state.create(cfg), wait=True)
+    mngr.close()
+    # real store + i3d weights + logs
+    data_dir = tmp_path / "clips"
+    data_dir.mkdir()
+    for i in range(3):
+        np.save(data_dir / f"c{i}.npy", np.random.default_rng(i).integers(
+            0, 256, (12, 32, 32, 3), dtype=np.uint8))
+    np.savez(str(tmp_path / "i3d.npz"),
+             **i3d.init_random(jax.random.key(0)))
+    for name, off in (("ours.jsonl", 0.0), ("ref.jsonl", 0.01)):
+        with open(tmp_path / name, "w") as f:
+            for s in range(0, 200, 20):
+                f.write(json.dumps({"step": s,
+                                    "loss_gen": 1.0 + off + s * 1e-3}) + "\n")
+
+    overrides = ["model.image_size=32", "model.video_length=8",
+                 "model.gen_features=8", "model.disc_features=8",
+                 "train.batch_size=8"]
+    summary = parity_day.main([
+        "--config", "mug", "--reference-npz", gen_npz,
+        "--i3d-weights", str(tmp_path / "i3d.npz"),
+        "--data-dir", str(data_dir), "--run-dir", str(run_dir),
+        "--our-log", str(tmp_path / "ours.jsonl"),
+        "--reference-log", str(tmp_path / "ref.jsonl"),
+        "--n", "4", "--out", str(tmp_path / "pd"),
+        "--set", *overrides])
+
+    st = summary["stages"]
+    assert st["import"]["matched"]["gen"] > 0
+    assert st["digest"]["deterministic"] is True
+    scores = st["fvd"]["scores"]
+    assert set(scores) == {"reference_vs_real", "ours_vs_real",
+                           "ours_vs_reference"}
+    assert all(np.isfinite(v) for v in scores.values())
+    assert "ABSOLUTE" in st["fvd"]["extractor"]
+    assert np.isfinite(st["compare"]["max_nabc"])
+    for fname in ("import_report.json", "reference_generate_digest.json",
+                  "fvd.json", "compare.json", "summary.json"):
+        assert (tmp_path / "pd" / fname).exists(), fname
+    del sys
