@@ -280,6 +280,17 @@ def stage_parity(args):
            "matmul_precision": "float32",
            "digest": video_digest(v1),
            "deterministic": bool((v1 == v2).all())}
+    # Self-verifying artifact: when this runs the golden recipe on the
+    # TPU backend, compare against the committed TPU golden so digest
+    # drift lands in the driver artifact, not just in the test suite.
+    golden = os.path.join(REPO, "tests", "golden",
+                          "generate_digest_tpu.json")
+    if (backend == "tpu" and (n, seed) == (2, 0)
+            and not os.environ.get("BENCH_OVERRIDES", "").strip("{} ")
+            and os.path.exists(golden)):
+        want = json.load(open(golden))
+        out["matches_committed_tpu_golden"] = (
+            out["digest"] == want["digest"])
     if backend != "cpu":
         with tempfile.TemporaryDirectory() as td:
             dump = os.path.join(td, "cpu_videos.npy")
@@ -583,9 +594,10 @@ def main():
                     extra[key] = round(scan["best"], 2)
                     extra[key + "_median"] = round(scan["median"], 2)
             # Production batch frontier ON THE PRODUCTION PATH (VERDICT r4
-            # missing #2): the known b32/b64 throughput lever measured on
-            # the cached-scan program, not just single-dispatch.
-            for b in (32, 64):
+            # missing #2): the throughput lever measured on the cached-scan
+            # program, not just single-dispatch. The frontier peaks at
+            # b128 (~2.4k clips/s, round 5); b256 measured lower (2373).
+            for b in (32, 64, 128):
                 scan = run_tpu_stage("scan", {"dtype": "bfloat16", "k": 16,
                                               "batch_size": b},
                                      budget, diag, extra,
@@ -598,7 +610,7 @@ def main():
                     extra[f"train_clips_per_sec_scan_b{b}_median"] = round(
                         scan["median"] * b, 1)
         if _flag("BENCH_BATCHES"):
-            for b in (32, 64):
+            for b in (32, 64, 128):
                 st = run_tpu_stage("train", {"dtype": "bfloat16",
                                              "batch_size": b}, budget,
                                    diag, extra, diag_key=f"train_b{b}")
