@@ -143,9 +143,17 @@ def divergence(a: np.ndarray, b: np.ndarray, windows: int = 10) -> Dict:
 
 def compare(log_a: Sequence[Dict], log_b: Sequence[Dict],
             keys: Optional[Sequence[str]] = None, *, grid_n: int = 400,
-            smooth_frac: float = 0.05, windows: int = 10) -> Dict:
+            smooth_frac: float = 0.05, windows: int = 10,
+            scale_a: float = 1.0, scale_b: float = 1.0) -> Dict:
     """Full report dict for two loaded logs. Also returns the aligned,
-    smoothed curves per key (under "_curves") for plotting."""
+    smoothed curves per key (under "_curves") for plotting.
+
+    scale_a/scale_b multiply each run's step axis before alignment.
+    Purpose: runs at DIFFERENT batch sizes consume different data per
+    step, so the step axis compares unequal training budgets; passing
+    each run's batch size as its scale aligns the curves on CLIPS SEEN
+    (examples processed) — the fair x-axis for batch-size A/Bs
+    (round 5; used for the b32-vs-b16 equivalence claim)."""
     keys = list(keys) if keys else shared_keys(log_a, log_b)
     if not keys:
         raise ValueError("no shared loss*/fvd* keys between the two logs")
@@ -167,13 +175,17 @@ def compare(log_a: Sequence[Dict], log_b: Sequence[Dict],
         fvd_status = "unknown"
     report["eval_fingerprints"] = {"a": fp_a, "b": fp_b,
                                    "fvd_comparability": fvd_status}
+    if scale_a != 1.0 or scale_b != 1.0:
+        report["x_axis"] = {"scale_a": scale_a, "scale_b": scale_b,
+                           "meaning": "steps scaled per run (e.g. by "
+                                      "batch size -> clips seen)"}
     for k in keys:
         sa, va = series(log_a, k)
         sb, vb = series(log_b, k)
         if len(sa) < 2 or len(sb) < 2:
             report["keys"][k] = {"skipped": "fewer than 2 points"}
             continue
-        grid, a, b = align(sa, va, sb, vb, n=grid_n)
+        grid, a, b = align(sa * scale_a, va, sb * scale_b, vb, n=grid_n)
         a_s, b_s = smooth(a, smooth_frac), smooth(b, smooth_frac)
         d = divergence(a_s, b_s, windows=windows)
         tail = max(1, len(grid) // windows)
@@ -221,7 +233,8 @@ def plot_overlay(report: Dict, path: str,
                      f"{note}", fontsize=10)
         ax.grid(True, alpha=0.3)
         ax.legend(fontsize=8)
-    axes[-1, 0].set_xlabel("step")
+    axes[-1, 0].set_xlabel("clips seen (scaled steps)"
+                           if report.get("x_axis") else "step")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
@@ -241,11 +254,16 @@ def main(argv=None):
     ap.add_argument("--smooth", type=float, default=0.05,
                     help="smoothing window as a fraction of the series")
     ap.add_argument("--grid", type=int, default=400)
+    ap.add_argument("--scale-a", type=float, default=1.0,
+                    help="multiply run A's step axis (pass its batch "
+                         "size to align batch-size A/Bs on clips seen)")
+    ap.add_argument("--scale-b", type=float, default=1.0)
     args = ap.parse_args(argv)
 
     report = compare(load_log(args.log_a), load_log(args.log_b),
                      keys=args.keys, grid_n=args.grid,
-                     smooth_frac=args.smooth, windows=args.windows)
+                     smooth_frac=args.smooth, windows=args.windows,
+                     scale_a=args.scale_a, scale_b=args.scale_b)
     printable = {k: v for k, v in report.items() if not k.startswith("_")}
     printable["labels"] = {"a": args.labels[0], "b": args.labels[1]}
     printable["logs"] = {"a": args.log_a, "b": args.log_b}

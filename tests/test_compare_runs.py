@@ -142,3 +142,20 @@ def test_pre_fingerprint_logs_marked_unknown():
     rep = cr.compare(log(), log())
     assert rep["eval_fingerprints"]["fvd_comparability"] == "unknown"
     assert "eval_mismatch" not in rep["keys"]["fvd_proxy"]
+
+
+def test_scaled_x_axis_aligns_on_clips_seen():
+    """scale_a/scale_b multiply each run's step axis before alignment —
+    the fair x-axis for batch-size A/Bs. Two runs tracing the SAME curve
+    in clips-seen (one at batch 2x the other, half the steps) must show
+    ~zero divergence under the right scales and nonzero without."""
+    f = lambda clips: np.sin(clips / 3000.0) + 2  # noqa: E731
+    log_b16 = _log(range(0, 2000, 10), lambda s: f(s * 16))
+    log_b32 = _log(range(0, 1000, 10), lambda s: f(s * 32))
+    rep = cr.compare(log_b16, log_b32, scale_a=16, scale_b=32)
+    assert rep["x_axis"]["scale_a"] == 16
+    assert rep["keys"]["loss_gen"]["nabc"] < 0.02
+    # same logs aligned on raw steps compare different curve segments
+    rep_raw = cr.compare(log_b16, log_b32)
+    assert rep_raw["keys"]["loss_gen"]["nabc"] > 0.1
+    assert "x_axis" not in rep_raw
