@@ -568,9 +568,18 @@ def main():
                 extra["train_steps_per_sec_bf16"] = round(bf16["best"], 2)
                 extra["train_steps_per_sec_bf16_median"] = round(
                     bf16["median"], 2)
-        # generate() BEFORE scan/batches: clips/sec is part of the
-        # BASELINE metric, so under a shrinking budget (or a tunnel dying
-        # mid-run) it must outrank the secondary matrices.
+        # Stage PRIORITY under a shrinking budget (observed live: a slow
+        # tunnel window pushed a 16-stage capture to the full 1200 s and
+        # dropped whatever ran last): headline train > fidelity (parity)
+        # > generate clips/s (BASELINE metric) > production scan +
+        # frontier > single-dispatch batches > scaled. The last stages
+        # are the ones with committed builder captures to fall back on.
+        if _flag("BENCH_PARITY"):
+            # Cross-backend fp32 generate() fidelity in the driver
+            # artifact (VERDICT r4 missing #1 / next-round #3).
+            pr = run_tpu_stage("parity", {}, budget, diag, extra)
+            if pr:
+                extra["parity"] = pr
         clips = None
         if _flag("BENCH_GENERATE"):
             sweep = run_tpu_stage("generate", {"sizes": [64, 256, 512]},
@@ -629,12 +638,6 @@ def main():
                     sc["median"], 2)
                 extra["scaled_clips_per_sec"] = round(
                     sc["best"] * sc["batch_size"], 1)
-        if _flag("BENCH_PARITY"):
-            # Cross-backend fp32 generate() fidelity in the driver artifact
-            # (VERDICT r4 missing #1 / next-round #3).
-            pr = run_tpu_stage("parity", {}, budget, diag, extra)
-            if pr:
-                extra["parity"] = pr
     else:
         clips = None
         print("[bench] TPU unresponsive at preflight — emitting partial "
